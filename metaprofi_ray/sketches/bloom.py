@@ -1,0 +1,87 @@
+"""Sharded Bloom-filter bank kernel (pure NumPy, mergeable).
+
+Semantics mirror the reference's per-sample Bloom filter
+(/root/reference/metaprofi/lib/bloomfilter_cython.pyx:63-134): all shingles of
+all rows of one ``source`` OR into one m-bit vector, bit-packed little-endian
+into uint8 bytes (setbit layout pyx:47-59, packing math utilities.py:257-265).
+Two deliberate departures, documented in SURVEY.md §2 (M5) and §7:
+
+* hashing is murmur3-style double hashing (see ``hashing.py``) instead of
+  h seeded MurmurHash2 passes — same FPR bound, one pass;
+* the m-bit vector is split into ``shards`` contiguous bit ranges so the
+  distributed merge key is ``(source, shard_id)`` and no aggregation buffer
+  ever holds the full bank row (SURVEY.md §7.3 "wide aggregation state").
+
+The OR merge is associative, commutative and idempotent, so shard partials
+merge in any order / any tree shape to byte-identical results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SketchConfig
+from . import hashing
+
+
+def bits_for_windows(
+    values: np.ndarray, starts: np.ndarray, cfg: SketchConfig
+) -> np.ndarray:
+    """Global Bloom bit indices, shape (n_windows, h) int64."""
+    h1 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H1)
+    h2 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H2)
+    return hashing.double_hash_bits(h1, h2, cfg.h, cfg.m)
+
+
+def set_bits_sharded(bits: np.ndarray, cfg: SketchConfig) -> dict[int, bytes]:
+    """OR a flat array of global bit indices into per-shard packed partials.
+
+    Returns {shard_id: packed shard bytes} for only the shards touched —
+    sparse output keeps per-batch partial rows small when a batch of one
+    source touches few shards.
+    """
+    if bits.size == 0:
+        return {}
+    flat = bits.reshape(-1)
+    shard_ids = flat // cfg.shard_bits
+    local = flat % cfg.shard_bits
+    out: dict[int, bytes] = {}
+    order = np.argsort(shard_ids, kind="stable")
+    sorted_sid = shard_ids[order]
+    sorted_local = local[order]
+    bounds = np.searchsorted(sorted_sid, np.arange(cfg.shards + 1))
+    for sid in np.unique(sorted_sid):
+        lo, hi = bounds[sid], bounds[sid + 1]
+        unpacked = np.zeros(cfg.shard_bits, dtype=bool)
+        unpacked[sorted_local[lo:hi]] = True
+        out[int(sid)] = np.packbits(unpacked, bitorder="little").tobytes()
+    return out
+
+
+def or_merge(parts: list[bytes]) -> bytes:
+    """Associative OR of equally-sized packed shard partials."""
+    acc = np.frombuffer(parts[0], dtype=np.uint8).copy()
+    for p in parts[1:]:
+        acc |= np.frombuffer(p, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def contains_counts(
+    bank_matrix: np.ndarray, byte_idx: np.ndarray, bit_pos: np.ndarray
+) -> np.ndarray:
+    """Bit-test many (window, hash) probe entries against many sources at once.
+
+    bank_matrix: (n_sources, shard_bytes) uint8 — one packed shard across all
+                 sources (the transposed probe the reference does per bit-slice,
+                 search_index.py:420-423, expressed as a matrix gather).
+    byte_idx/bit_pos: (n_entries,) local byte index / bit position in byte.
+    Returns (n_entries, n_sources) uint8 0/1 presence matrix.
+    """
+    gathered = bank_matrix[:, byte_idx]  # (n_sources, n_entries)
+    return ((gathered >> bit_pos[None, :].astype(np.uint8)) & 1).T
+
+
+def popcount_packed(packed: bytes) -> int:
+    """Number of set bits in a packed bank (fill-rate / summary metric)."""
+    arr = np.frombuffer(packed, dtype=np.uint8)
+    return int(np.unpackbits(arr).sum())
