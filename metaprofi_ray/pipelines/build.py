@@ -1,0 +1,91 @@
+"""Build pipeline: tokens Dataset → merged sketch bank index on disk.
+
+The Ray-Data-native replacement for the reference's ``metaprofi build``
+lifecycle (/root/reference/metaprofi/metaprofi_main.py:148-163 →
+zarrstore.py Phase B → build_index_zarr.py Phase C, traced in SURVEY.md §3.1):
+
+    read_parquet(columns=[doc_id? tokens n_tok source])   # prune at the read
+      → map_batches(filter n_tok >= k)                    # F2
+      → map_batches(partial_sketch_batch)                 # T1/A1 partials
+      → groupby(source, shard_id).map_groups(merge)       # A1 global OR-merge
+      → write_parquet(index/banks)                        # S7/S8 sink
+
+Streaming end-to-end: nothing materializes the input; the only all-to-all
+exchange is the groupby over the (already batch-combined) partial rows.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import SketchConfig
+from ..sources import io as bank_io
+from ..stages.bloom_build import (
+    PARTIAL_SCHEMA,
+    filter_min_len,
+    merge_partials,
+    partial_sketch_batch,
+)
+
+TOKEN_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def read_tokens(path: str | list[str]) -> rd.Dataset:
+    """Read a tokens corpus with column pruning (S1/S2 analogue)."""
+    return rd.read_parquet(path, columns=TOKEN_COLUMNS)
+
+
+def partial_banks(ds: rd.Dataset, cfg: SketchConfig) -> rd.Dataset:
+    """Length-filter + per-batch partial sketches.
+
+    ``batch_size=None`` gives one batch per block so each task's partial rows
+    already combine every row of its block — the combiner that keeps the
+    groupby shuffle at ``O(blocks × sources_per_block × shard_bytes)``.
+    """
+    ds = ds.map_batches(
+        partial(filter_min_len, k=cfg.k),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(
+        partial(partial_sketch_batch, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+def merge_banks(partials: rd.Dataset, cfg: SketchConfig) -> rd.Dataset:
+    """Global merge per (source, shard_id) — the A1 OR-merge shuffle."""
+    return partials.groupby(["source", "shard_id"]).map_groups(
+        partial(merge_partials, cfg=cfg), batch_format="pyarrow"
+    )
+
+
+def build_index(
+    ds: rd.Dataset, cfg: SketchConfig, index_dir: str
+) -> str:
+    """End-to-end build; returns index_dir.
+
+    Refuses to overwrite an existing index, mirroring the reference's
+    FileExistsError gate (zarrstore.py:219-221) — updates go through
+    ``pipelines.update`` instead.
+    """
+    banks_dir = os.path.join(index_dir, bank_io.BANKS)
+    if os.path.exists(os.path.join(index_dir, bank_io.MANIFEST)):
+        raise FileExistsError(f"index already exists at {index_dir}")
+    merged = merge_banks(partial_banks(ds, cfg), cfg)
+    merged.write_parquet(banks_dir)
+    bank_io.write_manifest(index_dir, cfg)
+    bank_io.write_sources_summary(index_dir, cfg)
+    return index_dir
+
+
+def build_from_parquet(path: str | list[str], cfg: SketchConfig, index_dir: str) -> str:
+    return build_index(read_tokens(path), cfg, index_dir)

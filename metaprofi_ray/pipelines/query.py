@@ -1,0 +1,114 @@
+"""Query pipeline: exact / theta containment search against a bank index.
+
+Ray-Data-native replacement for ``metaprofi search_index``
+(/root/reference/metaprofi/lib/search_index.py:32-398, traced SURVEY.md §3.2):
+the index is loaded once, broadcast via ``ray.put``, and probed by an actor
+pool inside ``map_batches`` — no LMDB caches, no fork pools.
+
+theta=100 reproduces exact search (every window present, A4); theta<100 is
+approximate containment with threshold ``ceil(n_wins * theta / 100)`` (A5,
+search_index.py:532).  Results are a Dataset of
+``(query_id, source, wins_found, n_wins, fraction)`` hit rows; a text report
+formatter mirrors the reference's output for parity (S9/S10).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..sources.io import BankIndex
+from ..stages.probe import HITS_SCHEMA, QueryProber, probe_batch
+
+
+def query_index(
+    index_dir: str,
+    queries: rd.Dataset,
+    theta: int = 100,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 1024,
+) -> rd.Dataset:
+    """Probe a query Dataset (query_id, tokens) against the index on disk.
+
+    Validates theta like the reference CLI (metaprofi_main.py:251-253).
+    The loaded index is broadcast ONCE (`ray.put`), not per batch.
+    """
+    if not 1 <= theta <= 100:
+        raise ValueError("theta must be in [1, 100]")
+    index = BankIndex.load(index_dir)
+    index_ref = ray.put(index)
+    return queries.map_batches(
+        QueryProber,
+        fn_constructor_args=(index_ref, theta),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def query_table(
+    index_dir: str, queries: pa.Table, theta: int = 100
+) -> pa.Table:
+    """Single-shot driver-side query for small query sets — the analogue of
+    the reference's inline single-sequence path (search_index.py:104-159)."""
+    if not 1 <= theta <= 100:
+        raise ValueError("theta must be in [1, 100]")
+    index = BankIndex.load(index_dir)
+    return probe_batch(queries, index, theta)
+
+
+def format_report(hits: pa.Table, theta: int) -> str:
+    """Text report mirroring the reference's layout
+    (search_index.py:614-659): one block per query, exact lists sample ids,
+    approximate lists ``sample_id: count (pct%)``."""
+    lines = [
+        f"# metaprofi_ray query results (theta={theta}) "
+        f"generated {time.strftime('%d_%m_%Y-%H_%M_%S')}"
+    ]
+    by_query: dict[str, list[tuple[str, int, float]]] = {}
+    for row in range(hits.num_rows):
+        by_query.setdefault(hits["query_id"][row].as_py(), []).append(
+            (
+                hits["source"][row].as_py(),
+                hits["wins_found"][row].as_py(),
+                hits["fraction"][row].as_py(),
+            )
+        )
+    for qid in sorted(by_query):
+        lines.append(f"Query: {qid}")
+        for src, cnt, pct in sorted(by_query[qid]):
+            if theta == 100:
+                lines.append(f"\t{src}")
+            else:
+                lines.append(f"\t{src}: {cnt} ({pct}%)")
+    return "\n".join(lines) + "\n"
+
+
+def parse_report(text: str) -> dict[str, dict[str, tuple[int, float] | None]]:
+    """Parse a report back into ``{query_id: {source: (count, pct) | None}}``
+    — the public-API parser the reference exposes (utilities.py:655-733)."""
+    out: dict[str, dict] = {}
+    cur: dict | None = None
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        if line.startswith("Query: "):
+            cur = out.setdefault(line[len("Query: ") :], {})
+        elif line.startswith("\t") and cur is not None:
+            body = line.strip()
+            if ": " in body:
+                src, rest = body.split(": ", 1)
+                cnt, pct = rest.split(" (")
+                cur[src] = (int(cnt), float(pct.rstrip("%)")))
+            else:
+                cur[body] = None
+    return out
+
+
+def empty_hits() -> pa.Table:
+    return HITS_SCHEMA.empty_table()

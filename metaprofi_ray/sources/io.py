@@ -1,0 +1,130 @@
+"""Bank-index on-disk layout: Parquet + JSON manifest.
+
+Replaces the reference's Zarr matrix/index stores
+(/root/reference/metaprofi/lib/zarrstore.py:235-291,
+/root/reference/metaprofi/lib/build_index_zarr.py:90-97) with:
+
+    <index_dir>/manifest.json          frozen SketchConfig + build metadata
+    <index_dir>/banks/*.parquet        merged rows (source, shard_id, bits …)
+    <index_dir>/sources.parquet        per-source summary (n_docs, n_wins,
+                                       hll_distinct, fpr_bound, col_idx)
+
+``sources.parquet`` is the analogue of the reference's ``Metadata`` sample-id
+array (zarrstore.py:258-272) — the small side every query broadcast-joins
+against (SURVEY.md §2.5 J1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import SketchConfig
+from ..sketches import bloom, hll
+from ..stages.bloom_build import STATS_SHARD
+
+MANIFEST = "manifest.json"
+BANKS = "banks"
+SOURCES = "sources.parquet"
+
+
+def write_manifest(index_dir: str, cfg: SketchConfig, extra: dict | None = None) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    doc = {"config": json.loads(cfg.to_json()), "built_unix": time.time()}
+    if extra:
+        doc.update(extra)
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+
+
+def read_manifest(index_dir: str) -> tuple[SketchConfig, dict]:
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        doc = json.load(f)
+    return SketchConfig.from_json(json.dumps(doc["config"])), doc
+
+
+def write_sources_summary(index_dir: str, cfg: SketchConfig) -> pa.Table:
+    """Derive sources.parquet from the merged banks' stats rows (small)."""
+    banks = pq.read_table(os.path.join(index_dir, BANKS))
+    stats = banks.filter(pa.compute.equal(banks["shard_id"], STATS_SHARD))
+    order = pa.compute.sort_indices(stats["source"])
+    stats = stats.take(order)
+    n_distinct = [
+        hll.estimate(hll.from_bytes(b.as_py())) for b in stats["hll"]
+    ]
+    tbl = pa.table(
+        {
+            "source": stats["source"],
+            "col_idx": pa.array(np.arange(stats.num_rows, dtype=np.int32)),
+            "n_docs": stats["n_docs"],
+            "n_wins": stats["n_wins"],
+            "n_tokens": stats["n_tokens"],
+            "hll_distinct": pa.array(n_distinct, pa.float64()),
+            "fpr_bound": pa.array(
+                [cfg.fpr_bound(int(d)) for d in n_distinct], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(index_dir, SOURCES))
+    return tbl
+
+
+class BankIndex:
+    """In-memory view of a bank index for broadcast probing.
+
+    ``matrices[shard_id]`` is a (n_sources, shard_bytes) uint8 matrix whose
+    row order matches ``sources`` (sorted source names == col_idx order) —
+    the broadcast analogue of the reference's bit-sliced probe
+    (search_index.py:420-423).  At cluster scale this object is built once on
+    the driver and shipped via ``ray.put``; probers ``ray.get`` it in
+    ``__init__`` (zero-copy for the numpy matrices).
+    """
+
+    def __init__(self, cfg: SketchConfig, sources: list[str],
+                 matrices: dict[int, np.ndarray], summary: pa.Table):
+        self.cfg = cfg
+        self.sources = sources
+        self.matrices = matrices
+        self.summary = summary
+
+    @classmethod
+    def load(cls, index_dir: str) -> "BankIndex":
+        cfg, _ = read_manifest(index_dir)
+        spath = os.path.join(index_dir, SOURCES)
+        if not os.path.exists(spath):
+            write_sources_summary(index_dir, cfg)
+        summary = pq.read_table(spath)
+        sources = summary["source"].to_pylist()
+        col_of = {s: i for i, s in enumerate(sources)}
+        banks = pq.read_table(
+            os.path.join(index_dir, BANKS),
+            columns=["source", "shard_id", "bits"],
+        )
+        banks = banks.filter(pa.compute.greater_equal(banks["shard_id"], 0))
+        matrices: dict[int, np.ndarray] = {}
+        for row in range(banks.num_rows):
+            sid = banks["shard_id"][row].as_py()
+            if sid not in matrices:
+                matrices[sid] = np.zeros(
+                    (len(sources), cfg.shard_bytes), dtype=np.uint8
+                )
+            bits = banks["bits"][row].as_py()
+            src = banks["source"][row].as_py()
+            matrices[sid][col_of[src]] = np.frombuffer(bits, dtype=np.uint8)
+        return cls(cfg, sources, matrices, summary)
+
+    def fill_fraction(self) -> dict[str, float]:
+        """Fraction of set bits per source (summary metric, S11 analogue)."""
+        out: dict[str, float] = {}
+        for i, s in enumerate(self.sources):
+            set_bits = sum(
+                bloom.popcount_packed(mat[i].tobytes())
+                for mat in self.matrices.values()
+            )
+            out[s] = set_bits / self.cfg.m
+        return out

@@ -1,0 +1,125 @@
+"""Query-side probe stage: broadcast bank matrices, vectorized bit tests.
+
+Replaces the reference's fork/LMDB query machinery
+(/root/reference/metaprofi/lib/search_index.py:270-379: hash → bin → fetch
+slices into LMDB → per-kmer AND) with a single stateful actor-pool
+``map_batches`` stage: the loaded ``BankIndex`` is ``ray.put`` once and each
+prober actor ``ray.get``s it in ``__init__`` (T3 analogue — state loaded once
+per worker, probed for many batches).
+
+Semantics parity (SURVEY.md §2.4 A3–A5):
+  * per window: AND of its h probed bits per source (A3/A4);
+  * theta: per-source count of matching windows over ALL windows including
+    duplicates, hit iff ``count >= ceil(n_wins * theta / 100)``
+    (threshold formula search_index.py:532; exact search == theta=100);
+  * queries with zero windows or zero hits produce no rows (F5,
+    search_index.py:595-611).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import SketchConfig
+from ..functions.tokenize import batch_windows
+from ..sketches import bloom, hashing
+from ..sources.io import BankIndex
+
+HITS_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("source", pa.string()),
+        ("wins_found", pa.int64()),
+        ("n_wins", pa.int64()),
+        ("fraction", pa.float64()),
+    ]
+)
+
+
+def probe_batch(
+    batch: pa.Table, index: BankIndex, theta: int, query_col: str = "query_id"
+) -> pa.Table:
+    """Vectorized probe of one query batch against the full bank matrix."""
+    cfg: SketchConfig = index.cfg
+    n_sources = len(index.sources)
+    if batch.num_rows == 0 or n_sources == 0:
+        return HITS_SCHEMA.empty_table()
+    values, starts, row_of_window = batch_windows(batch, cfg.k)
+    n_wins_total = starts.shape[0]
+    if n_wins_total == 0:
+        return HITS_SCHEMA.empty_table()
+    bits = bloom.bits_for_windows(values, starts, cfg)  # (n_wins, h)
+    flat = bits.reshape(-1)
+    shard_ids = flat // cfg.shard_bits
+    local = flat % cfg.shard_bits
+    presence = np.zeros((flat.size, n_sources), dtype=np.uint8)
+    for sid in np.unique(shard_ids):
+        mat = index.matrices.get(int(sid))
+        if mat is None:
+            continue  # no source ever set a bit in this shard
+        mask = shard_ids == sid
+        loc = local[mask]
+        presence[mask] = bloom.contains_counts(
+            mat, loc // 8, (loc % 8).astype(np.uint8)
+        )
+    # AND across the h hash probes of each window (A3)
+    win_present = presence.reshape(n_wins_total, cfg.h, n_sources).all(axis=1)
+    # per-query window counts via segment reduction (rows are in order)
+    n_rows = batch.num_rows
+    seg_starts = np.searchsorted(row_of_window, np.arange(n_rows))
+    wins_per_row = np.diff(np.append(seg_starts, n_wins_total))
+    # reduceat needs in-bounds indices; rows with 0 windows produce garbage
+    # segments here but are masked out below via wins_per_row == 0
+    counts = np.add.reduceat(
+        win_present, np.minimum(seg_starts, n_wins_total - 1), axis=0
+    )
+    q_ids: list[str] = []
+    s_names: list[str] = []
+    found: list[int] = []
+    totals: list[int] = []
+    fracs: list[float] = []
+    qcol = batch.column(query_col).to_pylist()
+    src_arr = np.asarray(index.sources)
+    for r in range(n_rows):
+        nw = int(wins_per_row[r])
+        if nw == 0:
+            continue
+        min_wins = max(1, math.ceil(nw * theta / 100))
+        row_counts = counts[r]
+        hit = np.nonzero(row_counts >= min_wins)[0]
+        if hit.size == 0:
+            continue
+        q_ids.extend([qcol[r]] * hit.size)
+        s_names.extend(src_arr[hit].tolist())
+        found.extend(row_counts[hit].astype(int).tolist())
+        totals.extend([nw] * hit.size)
+        fracs.extend((row_counts[hit] * 100.0 / nw).round(2).tolist())
+    return pa.table(
+        {
+            "query_id": q_ids,
+            "source": s_names,
+            "wins_found": pa.array(found, pa.int64()),
+            "n_wins": pa.array(totals, pa.int64()),
+            "fraction": pa.array(fracs, pa.float64()),
+        },
+        schema=HITS_SCHEMA,
+    )
+
+
+class QueryProber:
+    """Actor-pool callable for ``map_batches``: loads the broadcast index once
+    per actor (``__init__``), probes every batch vectorized (``__call__``)."""
+
+    def __init__(self, index_ref: "ray.ObjectRef | BankIndex", theta: int):
+        self.index = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        )
+        self.theta = theta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return probe_batch(batch, self.index, self.theta)
