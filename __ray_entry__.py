@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against the
+matching ``oracle_sql()[name]`` via DuckDB.  Neither this module nor the
+library calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +13,165 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive tokens from documents, build the
+    sharded Bloom/HLL/CMS/t-digest/KLL bank index, return the per-source
+    summary (stable schema, >= 1 row)."""
+    from metaprofi_ray.pipelines import flagship
+
+    return flagship.bloom_build_sources("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from metaprofi_ray.pipelines import ann, dedup, flagship, relational, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- sketch engine (SURVEY.md §2.4) -----------------------------
+        "bloom_build_sources": flagship.bloom_build_sources,
+        "bloom_query_self": flagship.bloom_query_self,
+        "hll_distinct_per_source": flagship.hll_distinct_per_source,
+        "cms_token_estimates": flagship.cms_token_estimates,
+        "doclen_quantiles": flagship.doclen_quantiles,
+        # --- relational operators (§2.2/2.4/2.5/2.6) --------------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_customers": relational.top_customers,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "supplier_nation_rollup": relational.supplier_nation_rollup,
+        "part_brand_stats": relational.part_brand_stats,
+        "order_priority_counts": relational.order_priority_counts,
+        "lineitem_filter_project": relational.lineitem_filter_project,
+        # --- training-data ops: text ------------------------------------
+        "token_counts": textstats.token_counts,
+        "quality_scores": textstats.quality_scores,
+        "language_id": textstats.language_id,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        # --- training-data ops: dedup -----------------------------------
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # --- similarity search ------------------------------------------
+        "ann_brute_topk": ann.brute_force_topk,
+        "ann_lsh_topk": ann.lsh_topk,
+        "knn_label_stats": ann.knn_label_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles.  Column names match the Ray outputs exactly; float
+    aggregates are rounded identically on both sides.  Non-SQL-expressible
+    sketch/LSH ops are omitted (driver records rows-only checks)."""
+    K = 8  # flagship shingle width (flagship.DEFAULT_CFG.k)
+    n_words = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return {
+        "bloom_build_sources": f"""
+            WITH w AS (SELECT source, {n_words} AS nw FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) FILTER (WHERE nw >= {K}) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN nw >= {K} THEN nw - {K} + 1 END), 0) AS BIGINT) AS n_wins,
+                   CAST(COALESCE(SUM(CASE WHEN nw >= {K} THEN nw END), 0) AS BIGINT) AS n_tokens
+            FROM w GROUP BY source ORDER BY source
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_name
+            ORDER BY SUM(o_totalprice) DESC, o_custkey ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "supplier_nation_rollup": """
+            SELECT r_name, n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   ROUND(SUM(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "part_brand_stats": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   MIN(p_retailprice) AS min_price,
+                   MAX(p_retailprice) AS max_price,
+                   ROUND(AVG(p_retailprice), 4) AS avg_price,
+                   CAST(SUM(p_size) AS BIGINT) AS sum_size
+            FROM part GROUP BY p_brand
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+        """,
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_quantity > 45.0
+        """,
+        "token_counts": f"""
+            SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tokens FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_brute_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "knn_label_stats": """
+            WITH expl AS (
+                SELECT label, i, embedding[i] AS x
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            ), cent AS (
+                SELECT label, i, AVG(x) AS c FROM expl GROUP BY label, i
+            ), norms AS (
+                SELECT label, ROUND(sqrt(SUM(c * c)), 4) AS centroid_norm
+                FROM cent GROUP BY label
+            ), counts AS (
+                SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                FROM embeddings GROUP BY label
+            )
+            SELECT counts.label, n_vecs, centroid_norm
+            FROM counts JOIN norms ON counts.label = norms.label
+        """,
+    }

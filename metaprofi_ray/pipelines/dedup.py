@@ -1,0 +1,310 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Exact (content-hash groupby), MinHash+LSH, SimHash, n-gram Jaccard
+verification, and embedding-cosine near-dup — the standard large-scale
+training-data dedup ladder, each expressed Ray-Data-first:
+
+    hash/signature per batch (vectorized map_batches)
+      → explode to (bucket, doc) rows
+      → groupby(bucket) to find candidates
+      → verify pairs (exact Jaccard / cosine) inside map_groups
+
+At 100 TB the only all-to-all moves are the bucket groupbys, whose input is
+one signature row per doc (not the documents themselves).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sketches import hashing
+
+U64 = np.uint64
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Keep the smallest doc_id per distinct text (md5 partition key) —
+    groupby(hash).min, the canonical hash-partitioned exact dedup."""
+    from ray.data.aggregate import Min
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df["text_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+        ]
+        return df[["doc_id", "text_md5"]]
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pandas"
+    )
+    return hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="keep_doc_id"))
+
+
+# ------------------------------------------------------------ shingling
+def _word_shingles(text: str, n: int) -> set[bytes]:
+    words = text.lower().split()
+    return {
+        " ".join(words[i : i + n]).encode("utf-8")
+        for i in range(max(len(words) - n + 1, 0))
+    } or {text.lower().encode("utf-8")}
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    sh = sorted(_word_shingles(text, n))
+    out = np.empty(len(sh), dtype=np.uint64)
+    for i, s in enumerate(sh):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s, digest_size=8).digest(), "little"
+        )
+    return out
+
+
+# ------------------------------------------------------------- MinHash/LSH
+class MinHashSigner:
+    """Per-doc MinHash signature (``n_perm`` permutations via the affine
+    trick a*x+b over one 64-bit shingle hash), banded for LSH.  Permutation
+    tables are built once per actor."""
+
+    def __init__(self, n_perm: int = 64, shingle_n: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) | U64(1)
+        self.b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.shingle_n = shingle_n
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_n)
+        # (n_perm, n_shingles) affine permutations, min over shingles
+        vals = self.a[:, None] * h[None, :] + self.b[:, None]
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in df["text"]])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].values, "sig": list(sigs)}
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, n_perm: int = 64, bands: int = 16, shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> rd.Dataset:
+    """Candidate pairs via LSH banding, verified with the MinHash-estimated
+    Jaccard.  Rows: (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    rows_per_band = n_perm // bands
+    signed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"n_perm": n_perm, "shingle_n": shingle_n},
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_band, out_key, out_sig = [], [], [], []
+        for doc, sig in zip(df["doc_id"], df["sig"]):
+            sig = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                key = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                out_doc.append(doc)
+                out_band.append(b)
+                out_key.append(key)
+                out_sig.append(sig)
+        return pd.DataFrame(
+            {"doc_id": out_doc, "band": out_band, "key": out_key, "sig": out_sig}
+        )
+
+    exploded = signed.map_batches(explode_bands, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
+            )
+        g = g.sort_values("doc_id")
+        docs = g["doc_id"].tolist()
+        sigs = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
+        a_l, b_l, j_l = [], [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= jaccard_threshold:
+                    a_l.append(docs[i])
+                    b_l.append(docs[j])
+                    j_l.append(round(est, 4))
+        return pd.DataFrame({"doc_a": a_l, "doc_b": b_l, "est_jaccard": j_l})
+
+    pairs = exploded.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a pair can match in multiple bands -> dedupe
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+class SimHasher:
+    """64-bit SimHash over word shingles; near-dups = small Hamming
+    distance.  Output: (doc_id, simhash) + 4 rotated prefix buckets so a
+    groupby can find pairs within distance <= 3 without all-pairs."""
+
+    def __init__(self, shingle_n: int = 2):
+        self.shingle_n = shingle_n
+
+    def simhash(self, text: str) -> int:
+        h = _shingle_hashes(text, self.shingle_n)
+        if h.size == 0:
+            return 0
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1))
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "simhash": np.array(
+                    [self.simhash(t) for t in df["text"]], dtype=np.uint64
+                ),
+            }
+        )
+
+
+def simhash_signatures(sf_dir: str, shingle_n: int = 2) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SimHasher, fn_constructor_kwargs={"shingle_n": shingle_n},
+        batch_format="pandas", concurrency=2,
+    )
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by SimHash: 4×16-bit block keys (pigeonhole — any pair
+    within Hamming distance 3 shares at least one exact 16-bit block),
+    groupby block key, verify Hamming inside the bucket."""
+    sigs = simhash_signatures(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "block": [], "key": [], "simhash": []}
+        for doc, sh in zip(df["doc_id"], df["simhash"]):
+            sh = U64(sh)
+            for b in range(4):
+                rows["doc_id"].append(doc)
+                rows["block"].append(b)
+                rows["key"].append(int((sh >> U64(16 * b)) & U64(0xFFFF)))
+                rows["simhash"].append(sh)
+        return pd.DataFrame(rows)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        if len(g) >= 2:
+            g = g.sort_values("doc_id")
+            docs = g["doc_id"].tolist()
+            shs = g["simhash"].to_numpy(dtype=np.uint64)
+            for i in range(len(docs)):
+                x = shs[i] ^ shs[i + 1 :]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for off in np.nonzero(d <= max_hamming)[0]:
+                    out["doc_a"].append(docs[i])
+                    out["doc_b"].append(docs[i + 1 + off])
+                    out["hamming"].append(int(d[off]))
+        return pd.DataFrame(out).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+
+    pairs = sigs.map_batches(explode, batch_format="pandas").groupby(
+        ["block", "key"]
+    ).map_groups(verify, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard_pairs(
+    sf_dir: str, shingle_n: int = 3, threshold: float = 0.8
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from MinHash-LSH — the
+    verification stage of the dedup ladder (LSH recalls, Jaccard decides).
+    Small output → returned as pandas."""
+    cands = minhash_lsh_pairs(
+        sf_dir, jaccard_threshold=max(0.3, threshold - 0.2)
+    ).to_pandas()
+    if cands.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).set_index("doc_id")["text"]
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for a, b in zip(cands["doc_a"], cands["doc_b"]):
+        sa, sb = _word_shingles(docs[a], shingle_n), _word_shingles(docs[b], shingle_n)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out["doc_a"].append(int(a))
+            out["doc_b"].append(int(b))
+            out["jaccard"].append(round(j, 4))
+    return pd.DataFrame(out).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.4
+) -> rd.Dataset:
+    """Cosine near-dup pairs over the embeddings table: the full matrix is
+    broadcast once (ray.put); each batch computes its block of the
+    similarity matrix with one float64 matmul and keeps pairs above
+    threshold with vec_a < vec_b.  At 100 TB the broadcast side becomes the
+    IVF/LSH-bucketed variant in ``ann.py``."""
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ref_tbl = pd.read_parquet(path, columns=["vec_id", "embedding"])
+    mat = np.stack(ref_tbl["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = ref_tbl["vec_id"].to_numpy()
+    bref = ray.put((mat, ids))
+
+    class Block:
+        def __init__(self):
+            self.mat, self.ids = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ self.mat.T
+            qa = df["vec_id"].to_numpy()
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = qa[ii] < self.ids[jj]
+            from ..functions.numeric import round_half_away
+
+            return pd.DataFrame(
+                {
+                    "vec_a": qa[ii][keep].astype("int64"),
+                    "vec_b": self.ids[jj][keep].astype("int64"),
+                    "cosine": round_half_away(sims[ii, jj][keep], 4),
+                }
+            )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(Block, batch_format="pandas", batch_size=512, concurrency=2)

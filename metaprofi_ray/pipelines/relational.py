@@ -1,0 +1,221 @@
+"""Generic relational operators over the driver's TPC-H-ish tables.
+
+These exercise the engine's general Dataset surface (groupby/aggregate,
+broadcast join, sort/limit, windowed and sessionized event aggregation) —
+every entry has an exact DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Conventions shared with the oracles:
+* float aggregates are rounded (2 or 4 dp) so double-summation order
+  cannot flip the driver's value hash;
+* top-k sorts carry a deterministic tie-break key;
+* all columns are named identically to the SQL aliases.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style pricing summary (grouped aggregate with derived
+    columns; the canonical groupby-shuffle benchmark)."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+            df[c] = round_half_away(df[c], 2)
+        for c in ["avg_qty", "avg_disc"]:
+            df[c] = round_half_away(df[c], 4)
+        return df
+
+    return agg.map_batches(round_cols, batch_format="pandas")
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Revenue top-k: groupby-sum over orders, broadcast join of the customer
+    dimension (ray.put once, looked up per batch — no shuffle join), sort
+    with deterministic tie-break, limit k."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent")
+    )
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    name_ref = ray.put(dict(zip(cust.c_custkey, cust.c_name)))
+
+    class AttachName:
+        def __init__(self):
+            self.names = ray.get(name_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["c_name"] = df["o_custkey"].map(self.names)
+            return df
+
+    joined = per_cust.map_batches(AttachName, batch_format="pandas", concurrency=1)
+    top = joined.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
+    df = top.to_pandas()
+    df["total_spent"] = round_half_away(df["total_spent"], 2)
+    return df[["o_custkey", "c_name", "total_spent"]]
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per event_type: count + rounded value sum.
+    Window = truncate-to-hour key inside map_batches, then grouped aggregate
+    (ray_guide.md streaming-shaped pattern)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def hour_key(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    agg = (
+        ds.map_batches(hour_key, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = round_half_away(df["sum_value"], 2)
+        return df
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user (gap > 30 min starts a new session):
+    ``groupby(user).map_groups`` over ts-sorted groups — the engine's
+    session-window operator (no native watermarks in Ray Data; ordering
+    contract documented per ray_guide.md)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        starts = (ts.diff() > gap).sum() + 1
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(starts)],
+             "n_events": [len(g)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def supplier_nation_rollup(sf_dir: str) -> pd.DataFrame:
+    """Three-way dimension join (supplier ⨝ nation ⨝ region) then rollup —
+    all dimension tables are small, so both joins are broadcast lookups."""
+    sup = rd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nation = pd.read_parquet(_pq(sf_dir, "nation"))
+    region = pd.read_parquet(_pq(sf_dir, "region"))
+    nref = ray.put(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+            ["n_nationkey", "n_name", "r_name"]
+        ]
+    )
+
+    class Attach:
+        def __init__(self):
+            self.dim = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.dim, left_on="s_nationkey", right_on="n_nationkey")
+
+    joined = sup.map_batches(Attach, batch_format="pandas", concurrency=1)
+    agg = joined.groupby(["r_name", "n_name"]).aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="total_acctbal"),
+    )
+    df = agg.to_pandas()
+    df["total_acctbal"] = round_half_away(df["total_acctbal"], 2)
+    return df
+
+
+def part_brand_stats(sf_dir: str) -> rd.Dataset:
+    """Per-brand min/max/avg retail price (multi-aggregate groupby)."""
+    ds = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_brand", "p_retailprice", "p_size"])
+    agg = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Sum("p_size", alias_name="sum_size"),
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_price"] = round_half_away(df["avg_price"], 4)
+        return df
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def order_priority_counts(sf_dir: str) -> rd.Dataset:
+    """Filter + grouped count (predicate pushdown exercised at the read)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def lineitem_filter_project(sf_dir: str) -> rd.Dataset:
+    """Vectorized filter + projection + computed column — the minimal
+    map/filter/project chain, column-pruned at the read."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        # raw double expression — identical IEEE ops to the SQL oracle, so
+        # the values hash-match without any rounding
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev).select(
+            ["l_orderkey", "l_linenumber", "l_quantity", "revenue"]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the ``documents`` table — the training-data
+pipeline staples: token counting, quality scoring, language ID, document
+fingerprinting.  All run as vectorized ``map_batches`` stages; the stateful
+ones (compiled regexes, stopword tables) are actor-pool callables with the
+state built once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+U64 = np.uint64
+_FP_BASE = U64(1099511628211)  # FNV prime as rolling-hash base
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count per document (matches DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')`` on non-empty text)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_tokens"] = df["text"].str.split().str.len().astype("int64")
+        return df[["doc_id", "n_tokens"]]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+class QualityScorer:
+    """Per-doc quality heuristics: alpha ratio, digit ratio, mean word
+    length, stopword ratio.  Regexes compiled once per actor."""
+
+    STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "for", "on")
+
+    def __init__(self):
+        self.alpha = re.compile(r"[A-Za-z]")
+        self.digit = re.compile(r"[0-9]")
+        self.stop = set(self.STOPWORDS)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_chars = text.str.len().astype("int64")
+        n_alpha = text.str.count(self.alpha).astype("int64")
+        n_digit = text.str.count(self.digit).astype("int64")
+        words = text.str.split()
+        n_words = words.str.len().astype("int64")
+        mean_wlen = words.map(
+            lambda ws: round(float(np.mean([len(w) for w in ws])), 4) if ws else 0.0
+        )
+        stop_ratio = words.map(
+            lambda ws: round(sum(w.lower() in self.stop for w in ws) / len(ws), 4)
+            if ws
+            else 0.0
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "alpha_ratio": (n_alpha / n_chars.clip(lower=1)).round(4),
+                "digit_ratio": (n_digit / n_chars.clip(lower=1)).round(4),
+                "mean_word_len": mean_wlen.astype("float64"),
+                "stopword_ratio": stop_ratio.astype("float64"),
+            }
+        )
+        return out
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=2
+    )
+
+
+class LangId:
+    """Character-frequency language heuristic (n-gram-lite): scores each doc
+    against per-language marker sets.  A deterministic, dependency-free
+    classifier; accuracy vs the table's ``lang`` label is reported by
+    tests, not assumed."""
+
+    MARKERS = {
+        "en": (" the ", " and ", " of ", " is ", " that "),
+        "de": (" der ", " und ", " die ", " ist ", " das "),
+        "fr": (" le ", " et ", " les ", " des ", " est "),
+        "es": (" el ", " de la ", " los ", " que ", " es "),
+    }
+
+    def __init__(self):
+        self.markers = {k: tuple(v) for k, v in self.MARKERS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        low = (" " + df["text"].str.lower() + " ").str.replace(
+            r"\s+", " ", regex=True
+        )
+        scores = {
+            lang: sum(low.str.count(re.escape(m)) for m in ms)
+            for lang, ms in self.markers.items()
+        }
+        sdf = pd.DataFrame(scores)
+        pred = sdf.idxmax(axis=1).where(sdf.max(axis=1) > 0, "unknown")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].values, "pred_lang": pred.values}
+        )
+
+
+def language_id(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    )
+
+
+def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
+    """Winnowing-style fingerprint: 64-bit rolling (polynomial) hash over
+    bytes, minimum hash per ``window``-gram stride, xor-folded to one
+    uint64 per document.  Deterministic; used for cheap near-identity
+    bucketing upstream of heavier dedup."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.empty(len(df), dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if b.size < window:
+                fps[i] = U64(int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                ))
+                continue
+            # rolling polynomial hash via cumulative powers (vectorized)
+            n_g = b.size - window + 1
+            acc = np.zeros(n_g, dtype=np.uint64)
+            for j in range(window):
+                acc = acc * _FP_BASE + b[j : j + n_g].astype(np.uint64)
+            fps[i] = np.bitwise_xor.reduce(np.minimum.reduceat(
+                acc, np.arange(0, n_g, window)
+            ))
+        return pd.DataFrame({"doc_id": df["doc_id"].values,
+                             "fingerprint": fps.astype("uint64")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def langid_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Predicted vs labeled language confusion summary (diagnostic)."""
+    pred = language_id(sf_dir).to_pandas()
+    truth = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    m = pred.merge(truth, on="doc_id")
+    return (
+        m.groupby(["lang", "pred_lang"]).size().reset_index(name="n")
+        .sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    )
