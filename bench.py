@@ -1,0 +1,164 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline: sequences/sec indexed end-to-end (Bloom+HLL+CMS+quantile bank
+build) over a deterministic bench tokens corpus, per BASELINE.json's metric.
+Also times the query path and representative operator pipelines over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: run the same job at two parallelism levels (8 and 32 CPUs by
+default) in fresh processes on the same input and report both throughputs +
+scaling efficiency (the sandbox stand-in for the N vs 4N cluster criterion;
+results recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _bench_corpus(sf_tag: str, n_docs: int) -> str:
+    from metaprofi_ray.sources.synth_fast import generate_corpus_fast
+
+    out = f"/tmp/metaprofi_bench_corpus_{sf_tag}_{n_docs}"
+    return generate_corpus_fast(out, n_docs=n_docs)
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_tag.replace("sf", "") or 0.1)
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", str(int(2_400_000 * sf))))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from metaprofi_ray.config import SketchConfig
+    from metaprofi_ray.pipelines import ann, build as build_pipe, dedup, query as query_pipe, relational
+    from metaprofi_ray.sources.synth import make_queries
+
+    corpus = _bench_corpus(sf_tag, n_docs)
+    cfg = SketchConfig(k=8, h=2, m=1 << 24, shards=8, hll_p=14)
+
+    # Warm-up: page cache + Ray worker processes + per-worker imports, so the
+    # headline measures steady-state compute+shuffle (the reference's numbers
+    # are hours-long builds where startup is amortized away).
+    n_rows = build_pipe.read_tokens(corpus).count()
+    warm_dir = f"/tmp/metaprofi_bench_warm_{os.getpid()}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_corpus = _bench_corpus("warm", 2000)
+    build_pipe.build_from_parquet(warm_corpus, SketchConfig(k=8, h=2, m=1 << 18), warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: Bloom bank build end-to-end -------------------------
+    index_dir = f"/tmp/metaprofi_bench_index_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_pipe.build_from_parquet(corpus, cfg, index_dir)
+    t_build = time.perf_counter() - t0
+    timings["bloom_build"] = round(t_build, 3)
+
+    # ---- query path ----------------------------------------------------
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    qt = pa.table(
+        {
+            "query_id": [f"q{i}" for i in range(2000)],
+            "tokens": pa.array(
+                [rng.integers(0, 1 << 20, size=40, dtype=np.int32) for _ in range(2000)],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    t0 = time.perf_counter()
+    query_pipe.query_index(index_dir, rd.from_arrow(qt), theta=75, concurrency=4).count()
+    timings["bloom_query_2k"] = round(time.perf_counter() - t0, 3)
+
+    # ---- representative operator pipelines over sf_dir -----------------
+    def timed(name: str, fn):
+        t = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("events_hourly", relational.events_hourly)
+    timed("exact_dedup", dedup.exact_dedup)
+    timed("minhash_lsh_pairs", dedup.minhash_lsh_pairs)
+    timed("ann_brute_topk", ann.brute_force_topk)
+
+    seq_per_sec = n_rows / t_build
+    return {
+        "metric": "bloom_build_seconds (headline; sequences_per_sec in extras)",
+        "value": round(t_build, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "n_docs": n_rows,
+        "sequences_per_sec": round(seq_per_sec, 1),
+    }
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    out = {}
+    for ncpu in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    tput_lo = out[lo]["sequences_per_sec"]
+    tput_hi = out[hi]["sequences_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"seq_per_sec_{lo}cpu": tput_lo,
+        f"seq_per_sec_{hi}cpu": tput_hi,
+        f"build_sec_{lo}cpu": out[lo]["value"],
+        f"build_sec_{hi}cpu": out[hi]["value"],
+        "levels": list(levels),
+        "sf": out[hi]["sf"],
+        "n_docs": out[hi]["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

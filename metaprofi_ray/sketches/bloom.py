@@ -46,14 +46,13 @@ def set_bits_sharded(bits: np.ndarray, cfg: SketchConfig) -> dict[int, bytes]:
     shard_ids = flat // cfg.shard_bits
     local = flat % cfg.shard_bits
     out: dict[int, bytes] = {}
-    order = np.argsort(shard_ids, kind="stable")
-    sorted_sid = shard_ids[order]
-    sorted_local = local[order]
-    bounds = np.searchsorted(sorted_sid, np.arange(cfg.shards + 1))
-    for sid in np.unique(sorted_sid):
-        lo, hi = bounds[sid], bounds[sid + 1]
+    # shards is small: per-shard boolean masks beat an argsort of the bits
+    for sid in range(cfg.shards):
+        sel = shard_ids == sid
+        if not sel.any():
+            continue
         unpacked = np.zeros(cfg.shard_bits, dtype=bool)
-        unpacked[sorted_local[lo:hi]] = True
+        unpacked[local[sel]] = True
         out[int(sid)] = np.packbits(unpacked, bitorder="little").tobytes()
     return out
 

@@ -37,8 +37,14 @@ def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
     return (x << r) | (x >> (U64(64) - r))
 
 
+def _rotl64_inplace(x: np.ndarray, r: int) -> None:
+    t = x >> U64(64 - r)
+    x <<= U64(r)
+    x |= t
+
+
 def _fmix64(x: np.ndarray) -> np.ndarray:
-    x = x.copy()
+    # in-place murmur3 finalizer (caller owns x)
     x ^= x >> U64(33)
     x *= _FMIX1
     x ^= x >> U64(33)
@@ -64,20 +70,22 @@ def hash_windows(
         return out
     v = values.view(np.uint32) if values.dtype == np.int32 else values.astype(np.uint32)
     # 8-byte lanes: tokens (2j, 2j+1); odd-k tail lane zero-padded high half.
+    # In-place uint64 ops throughout — one gather copy per lane, no other
+    # temporaries, vectorized across all windows.
     n_lanes = (k + 1) // 2
     for j in range(n_lanes):
-        lo = v[starts + 2 * j].astype(np.uint64)
+        lane = v[starts + 2 * j].astype(np.uint64)
         if 2 * j + 1 < k:
             hi = v[starts + 2 * j + 1].astype(np.uint64)
-            lane = lo | (hi << U64(32))
-        else:
-            lane = lo
+            hi <<= U64(32)
+            lane |= hi
         lane *= _C1
-        lane = _rotl64(lane, 31)
+        _rotl64_inplace(lane, 31)
         lane *= _C2
         out ^= lane
-        out = _rotl64(out, 27)
-        out = out * U64(5) + U64(0x52DCE729)
+        _rotl64_inplace(out, 27)
+        out *= U64(5)
+        out += U64(0x52DCE729)
     out ^= U64(4 * k)
     return _fmix64(out)
 

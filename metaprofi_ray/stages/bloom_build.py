@@ -76,15 +76,40 @@ def partial_sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
     h2 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H2)
     bits = hashing.double_hash_bits(h1, h2, cfg.h, cfg.m)
 
-    win_src = src_codes[row_of_window]
-    order = np.argsort(win_src, kind="stable")
-    sorted_src = win_src[order]
-    seg = np.searchsorted(sorted_src, np.arange(len(src_names) + 1))
-
-    # row segmentation per source (rows arrive unsorted in general)
-    row_order = np.argsort(src_codes, kind="stable")
-    rows_sorted = src_codes[row_order]
-    rseg = np.searchsorted(rows_sorted, np.arange(len(src_names) + 1))
+    n_src = len(src_names)
+    lengths = tok_offsets[1:] - tok_offsets[:-1]
+    total_tok = int(lengths.sum())
+    contiguous = bool(tok_offsets[-1] - tok_offsets[0] == total_tok)
+    if n_src == 1:
+        # fast path for source-partitioned input (the at-scale layout):
+        # no per-source sorting at all
+        order = None
+        seg = np.array([0, starts.shape[0]])
+        row_order = None
+        rseg = np.array([0, batch.num_rows])
+        if contiguous:
+            tok_sorted = values[tok_offsets[0] : tok_offsets[-1]]
+        else:
+            csum = np.concatenate([[0], np.cumsum(lengths)])
+            intra = np.arange(total_tok, dtype=np.int64) - np.repeat(csum[:-1], lengths)
+            tok_sorted = values[np.repeat(tok_offsets[:-1], lengths) + intra]
+        tseg = np.array([0, total_tok])
+    else:
+        win_src = src_codes[row_of_window]
+        order = np.argsort(win_src, kind="stable")
+        seg = np.searchsorted(win_src[order], np.arange(n_src + 1))
+        # row segmentation per source (rows arrive unsorted in general)
+        row_order = np.argsort(src_codes, kind="stable")
+        rseg = np.searchsorted(src_codes[row_order], np.arange(n_src + 1))
+        # token segmentation per source: one gather of all token values in
+        # source-grouped order (no per-row Python slicing)
+        csum = np.concatenate([[0], np.cumsum(lengths)])
+        intra = np.arange(total_tok, dtype=np.int64) - np.repeat(csum[:-1], lengths)
+        tok_idx = np.repeat(tok_offsets[:-1], lengths) + intra
+        tok_src = np.repeat(src_codes, lengths)
+        tok_order = np.argsort(tok_src, kind="stable")
+        tok_sorted = values[tok_idx[tok_order]]
+        tseg = np.searchsorted(tok_src[tok_order], np.arange(n_src + 1))
 
     out: dict[str, list] = {name: [] for name in PARTIAL_SCHEMA.names}
 
@@ -103,24 +128,18 @@ def partial_sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
 
     for code, name in enumerate(src_names):
         lo, hi = seg[code], seg[code + 1]
-        widx = order[lo:hi]
+        widx = slice(lo, hi) if order is None else order[lo:hi]
         # Bloom shard partials
         for sid, packed in bloom.set_bits_sharded(bits[widx], cfg).items():
             emit(name, sid, packed)
         # per-source stats row
         rlo, rhi = rseg[code], rseg[code + 1]
-        ridx = row_order[rlo:rhi]
+        ridx = slice(rlo, rhi) if row_order is None else row_order[rlo:rhi]
         regs = hll.empty(cfg.hll_p)
         hll.update(regs, h1[widx], cfg.hll_p)
         table = cms.empty(cfg.cms_d, cfg.cms_w)
         # token frequencies over all tokens of this source's rows
-        tok_cat = (
-            np.concatenate(
-                [values[tok_offsets[r] : tok_offsets[r + 1]] for r in ridx]
-            )
-            if len(ridx)
-            else np.empty(0, dtype=np.int32)
-        )
+        tok_cat = tok_sorted[tseg[code] : tseg[code + 1]]
         cms.update(table, tok_cat)
         td = TDigest(cfg.tdigest_delta)
         td.update(n_tok[ridx].astype(np.float64))
@@ -128,7 +147,7 @@ def partial_sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
         ksk.update(n_tok[ridx].astype(np.float64))
         emit(
             name, STATS_SHARD, None,
-            n_docs=int(len(ridx)), n_wins=int(hi - lo), n_tokens=int(tok_cat.size),
+            n_docs=int(rhi - rlo), n_wins=int(hi - lo), n_tokens=int(tok_cat.size),
             hll_b=hll.to_bytes(regs), cms_b=cms.to_bytes(table),
             td_b=td.to_bytes(), kll_b=ksk.to_bytes(),
         )
