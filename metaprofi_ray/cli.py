@@ -1,0 +1,136 @@
+"""CLI mirroring the reference's subcommands
+(/root/reference/metaprofi/metaprofi_main.py:19-282): build / build-ckpt /
+update / search / summary, over tokens Parquet instead of FASTA manifests.
+
+Usage:
+    python -m metaprofi_ray.cli build  <corpus_dir_or_glob> <index_dir> [--k 8 --h 2 --m 131072 --shards 4]
+    python -m metaprofi_ray.cli build-ckpt <corpus_dir> <index_dir> [--partitions 8]
+    python -m metaprofi_ray.cli update <index_dir> <new_corpus> <out_dir>
+    python -m metaprofi_ray.cli search <index_dir> <query_parquet> [--theta 100 --out hits.parquet]
+    python -m metaprofi_ray.cli summary <index_dir>
+
+Owns the Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def _resolve(path: str) -> list[str] | str:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    g = sorted(glob.glob(path))
+    return g if g else path
+
+
+def _init_ray() -> bool:
+    """Init Ray if nobody else owns the session; returns True if we did."""
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", os.cpu_count() or 8)),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return owned
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="metaprofi_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_cfg(sp):
+        sp.add_argument("--k", type=int, default=8)
+        sp.add_argument("--h", type=int, default=2)
+        sp.add_argument("--m", type=int, default=1 << 17)
+        sp.add_argument("--shards", type=int, default=4)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus")
+    b.add_argument("index_dir")
+    add_cfg(b)
+
+    bc = sub.add_parser("build-ckpt")
+    bc.add_argument("corpus")
+    bc.add_argument("index_dir")
+    bc.add_argument("--partitions", type=int, default=8)
+    add_cfg(bc)
+
+    u = sub.add_parser("update")
+    u.add_argument("index_dir")
+    u.add_argument("new_corpus")
+    u.add_argument("out_dir")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("queries")
+    s.add_argument("--theta", type=int, default=100)
+    s.add_argument("--out", default=None)
+
+    sm = sub.add_parser("summary")
+    sm.add_argument("index_dir")
+
+    a = p.parse_args(argv)
+    from .config import SketchConfig
+
+    owns_ray = False
+
+    if a.cmd == "build":
+        owns_ray = _init_ray()
+        from .pipelines.build import build_from_parquet
+
+        cfg = SketchConfig(k=a.k, h=a.h, m=a.m, shards=a.shards)
+        out = build_from_parquet(_resolve(a.corpus), cfg, a.index_dir)
+        print(f"built index at {out}")
+    elif a.cmd == "build-ckpt":
+        owns_ray = _init_ray()
+        from .state.checkpoint import build_with_checkpoints
+
+        cfg = SketchConfig(k=a.k, h=a.h, m=a.m, shards=a.shards)
+        rep = build_with_checkpoints(_resolve(a.corpus), cfg, a.index_dir, a.partitions)
+        print(f"built={rep['built']} resumed={rep['resumed']} at {a.index_dir}")
+    elif a.cmd == "update":
+        owns_ray = _init_ray()
+        from .pipelines.update import update_from_parquet
+
+        out = update_from_parquet(a.index_dir, _resolve(a.new_corpus), a.out_dir)
+        print(f"updated index at {out}")
+    elif a.cmd == "search":
+        owns_ray = _init_ray()
+        import ray.data as rd
+
+        from .pipelines.query import format_report, query_index
+
+        hits = query_index(a.index_dir, rd.read_parquet(a.queries), theta=a.theta)
+        if a.out:
+            hits.write_parquet(a.out)
+            print(f"hits written to {a.out}")
+        else:
+            import pyarrow as pa
+
+            tbl = pa.Table.from_pandas(hits.to_pandas())
+            sys.stdout.write(format_report(tbl, a.theta))
+    elif a.cmd == "summary":
+        from .pipelines.summary import format_summary
+
+        sys.stdout.write(format_summary(a.index_dir))
+    if owns_ray:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -60,7 +60,7 @@ def brute_force_topk(
             ).head(k)
 
     partials = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
-        Score, batch_format="pandas", batch_size=2048, concurrency=2
+        Score, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
     )
     top = (
         partials.to_pandas()
@@ -131,7 +131,7 @@ def lsh_topk(
             ).head(k)
 
     partials = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
-        BucketScore, batch_format="pandas", batch_size=2048, concurrency=2
+        BucketScore, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
     )
     pdf = partials.to_pandas()
     if pdf.empty:

@@ -73,8 +73,14 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 # ------------------------------------------------------------- MinHash/LSH
 class MinHashSigner:
     """Per-doc MinHash signature (``n_perm`` permutations via the affine
-    trick a*x+b over one 64-bit shingle hash), banded for LSH.  Permutation
-    tables are built once per actor."""
+    trick a*x+b over 64-bit word-shingle hashes), banded for LSH.
+
+    Vectorized across the whole batch: words are interned to int32 ids via a
+    per-actor memo, all n-gram windows of all docs hash in one
+    ``hash_windows`` pass, the affine permutation matrix is applied to the
+    flat shingle array once, and per-doc minima come from
+    ``np.minimum.reduceat`` over doc segments.  Permutation tables and the
+    word memo are actor state built once."""
 
     def __init__(self, n_perm: int = 64, shingle_n: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -82,15 +88,46 @@ class MinHashSigner:
         self.b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.shingle_n = shingle_n
+        self.memo: dict[str, int] = {}
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_n)
-        # (n_perm, n_shingles) affine permutations, min over shingles
-        vals = self.a[:, None] * h[None, :] + self.b[:, None]
-        return vals.min(axis=1)
+    def _word_ids(self, text: str) -> np.ndarray:
+        words = text.lower().split()
+        ids = np.empty(len(words), dtype=np.int32)
+        memo = self.memo
+        for i, w in enumerate(words):
+            v = memo.get(w)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(w.encode("utf-8"), digest_size=4).digest(),
+                    "little",
+                    signed=True,
+                )
+                memo[w] = v
+            ids[i] = v
+        return ids
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df["text"]])
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": df["doc_id"].values, "sig": []})
+        id_arrays = [self._word_ids(t) for t in df["text"]]
+        # docs shorter than the shingle width fall back to one whole-doc
+        # shingle (mirrors _word_shingles' fallback)
+        n = self.shingle_n
+        padded = [
+            a if a.size >= n else np.pad(a, (0, n - a.size)) for a in id_arrays
+        ]
+        lens = np.array([a.size for a in padded], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = (
+            np.concatenate(padded) if padded else np.empty(0, dtype=np.int32)
+        )
+        starts, row_of = hashing.window_starts(offsets, n)
+        h = hashing.hash_windows(flat, starts, n, hashing.SEED_H1)
+        # (n_perm, total_shingles) affine transform, then per-doc min
+        vals = self.a[:, None] * h[None, :]
+        vals += self.b[:, None]
+        seg = np.searchsorted(row_of, np.arange(len(padded)))
+        sigs = np.minimum.reduceat(vals, seg, axis=1).T  # (n_docs, n_perm)
         return pd.DataFrame(
             {"doc_id": df["doc_id"].values, "sig": list(sigs)}
         )
@@ -107,7 +144,7 @@ def minhash_lsh_pairs(
         MinHashSigner,
         fn_constructor_kwargs={"n_perm": n_perm, "shingle_n": shingle_n},
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(1, 8),
     )
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -187,7 +224,7 @@ class SimHasher:
 def simhash_signatures(sf_dir: str, shingle_n: int = 2) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHasher, fn_constructor_kwargs={"shingle_n": shingle_n},
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=(1, 8),
     )
 
 
@@ -307,4 +344,4 @@ def embedding_neardup_pairs(
             )
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    return ds.map_batches(Block, batch_format="pandas", batch_size=512, concurrency=2)
+    return ds.map_batches(Block, batch_format="pandas", batch_size=512, concurrency=(1, 8))

@@ -70,7 +70,7 @@ def tokens_dataset(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"],
     )
-    return docs.map_batches(Tokenizer, batch_format="pyarrow", concurrency=2)
+    return docs.map_batches(Tokenizer, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def build_index_for(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> str:

@@ -29,7 +29,7 @@ def query_index(
     index_dir: str,
     queries: rd.Dataset,
     theta: int = 100,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 1024,
 ) -> rd.Dataset:
     """Probe a query Dataset (query_id, tokens) against the index on disk.

@@ -77,7 +77,7 @@ class QualityScorer:
 
 def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=2
+        QualityScorer, batch_format="pandas", concurrency=(1, 4)
     )
 
 
@@ -114,7 +114,7 @@ class LangId:
 
 def language_id(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=2
+        LangId, batch_format="pandas", concurrency=(1, 4)
     )
 
 

@@ -1,0 +1,119 @@
+"""Per-partition checkpointed build with lineage + metrics (north_rule).
+
+The reference build is all-or-nothing (a crashed worker loses the run,
+SURVEY.md §4 "Checkpoint / resume: None").  Here the input file list is
+split into P partitions; each partition's partial banks are merged and
+written to ``<index>/_ckpt/partition=<id>/banks`` together with a
+``manifest.json`` recording lineage (input files, sizes), metrics (rows,
+windows, wall seconds) and the config hash.  A re-run skips every partition
+whose manifest matches; the final merge unions the partition banks (valid
+partials, since OR/max/sum merges are idempotent and associative) into the
+index.  Partition outputs are written to a temp dir and renamed, so a kill
+mid-partition never leaves a partial checkpoint behind.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import ray.data as rd
+
+from ..config import SketchConfig
+from ..sources import io as bank_io
+from ..pipelines.build import merge_banks, partial_banks, read_tokens
+
+CKPT = "_ckpt"
+
+
+def _partition_files(files: list[str], n_partitions: int) -> list[list[str]]:
+    files = sorted(files)
+    n_partitions = max(1, min(n_partitions, len(files)))
+    out: list[list[str]] = [[] for _ in range(n_partitions)]
+    for i, f in enumerate(files):
+        out[i % n_partitions].append(f)
+    return out
+
+
+def _manifest_matches(path: str, files: list[str], cfg: SketchConfig) -> bool:
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return doc.get("files") == files and doc.get("config") == json.loads(cfg.to_json())
+
+
+def build_with_checkpoints(
+    input_files: list[str] | str,
+    cfg: SketchConfig,
+    index_dir: str,
+    n_partitions: int = 8,
+) -> dict:
+    """Build (or resume building) the index; returns a report dict with
+    per-partition status.  Safe to re-invoke after any interruption."""
+    if isinstance(input_files, str):
+        input_files = sorted(glob.glob(os.path.join(input_files, "*.parquet")))
+    parts = _partition_files(list(input_files), n_partitions)
+    ckpt_root = os.path.join(index_dir, CKPT)
+    os.makedirs(ckpt_root, exist_ok=True)
+    report: dict = {"partitions": [], "resumed": 0, "built": 0}
+    for pid, files in enumerate(parts):
+        pdir = os.path.join(ckpt_root, f"partition={pid:05d}")
+        manifest = os.path.join(pdir, "manifest.json")
+        if _manifest_matches(manifest, files, cfg):
+            report["resumed"] += 1
+            report["partitions"].append({"id": pid, "status": "skipped"})
+            continue
+        shutil.rmtree(pdir, ignore_errors=True)
+        tmp = pdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.perf_counter()
+        merged = merge_banks(partial_banks(read_tokens(files), cfg), cfg)
+        merged.write_parquet(os.path.join(tmp, "banks"))
+        # metrics from the merged stats rows (small read)
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        stats = pq.read_table(
+            os.path.join(tmp, "banks"), columns=["shard_id", "n_docs", "n_wins"]
+        )
+        stats = stats.filter(pc.equal(stats["shard_id"], -1))
+        wall = time.perf_counter() - t0
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(
+                {
+                    "partition": pid,
+                    "files": files,
+                    "file_bytes": [os.path.getsize(f) for f in files],
+                    "config": json.loads(cfg.to_json()),
+                    "n_docs": int(pc.sum(stats["n_docs"]).as_py() or 0),
+                    "n_wins": int(pc.sum(stats["n_wins"]).as_py() or 0),
+                    "wall_sec": round(wall, 3),
+                    "finished_unix": time.time(),
+                },
+                fh, indent=2,
+            )
+        os.replace(tmp, pdir)  # atomic publish
+        report["built"] += 1
+        report["partitions"].append({"id": pid, "status": "built", "wall_sec": wall})
+    # final merge across partitions (partition banks are valid partials)
+    banks_dir = os.path.join(index_dir, bank_io.BANKS)
+    shutil.rmtree(banks_dir, ignore_errors=True)
+    part_files: list[str] = []
+    for pid in range(len(parts)):
+        part_files.extend(
+            sorted(glob.glob(os.path.join(ckpt_root, f"partition={pid:05d}", "banks", "*.parquet")))
+        )
+    part_banks = rd.read_parquet(part_files)
+    merge_banks(part_banks, cfg).write_parquet(banks_dir)
+    bank_io.write_manifest(
+        index_dir, cfg,
+        extra={"checkpointed": True, "n_partitions": len(parts),
+               "resumed_partitions": report["resumed"]},
+    )
+    bank_io.write_sources_summary(index_dir, cfg)
+    return report

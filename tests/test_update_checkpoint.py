@@ -1,0 +1,177 @@
+"""Update/append, checkpoint/resume equivalence, summary, CLI smoke.
+
+Mirrors SURVEY.md §5(d): resume-from-checkpoint must yield an index
+equivalent to a direct build (byte-identical Bloom/HLL/CMS state)."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from metaprofi_ray.config import SketchConfig
+from metaprofi_ray.pipelines import build as build_pipe
+from metaprofi_ray.pipelines import query as query_pipe
+from metaprofi_ray.pipelines.summary import format_summary, index_summary
+from metaprofi_ray.pipelines.update import update_from_parquet
+from metaprofi_ray.sources.io import BankIndex
+from metaprofi_ray.sources.synth import generate_corpus
+from metaprofi_ray.state.checkpoint import build_with_checkpoints
+
+CFG = SketchConfig(k=8, h=2, m=1 << 16, shards=4)
+
+
+def _bank_state(index_dir):
+    """Comparable deterministic state: bloom matrices + per-source counters
+    + hll/cms bytes (t-digest/KLL excluded — merge-order dependent)."""
+    idx = BankIndex.load(index_dir)
+    banks = pq.read_table(os.path.join(index_dir, "banks"))
+    stats = banks.filter(pq.compute.equal(banks["shard_id"], -1)) if hasattr(pq, "compute") else None
+    import pyarrow.compute as pc
+
+    stats = banks.filter(pc.equal(banks["shard_id"], -1))
+    order = pc.sort_indices(stats["source"])
+    stats = stats.take(order)
+    return (
+        {sid: m.tobytes() for sid, m in sorted(idx.matrices.items())},
+        stats["source"].to_pylist(),
+        stats["n_docs"].to_pylist(),
+        stats["n_wins"].to_pylist(),
+        [b.as_py() for b in stats["hll"]],
+        [b.as_py() for b in stats["cms"]],
+    )
+
+
+@pytest.fixture(scope="module")
+def split_corpora(tmp_path_factory):
+    """Two disjoint corpora: 'old' sources src0x, 'new' adds overlap + new."""
+    root = tmp_path_factory.mktemp("upd")
+    old = generate_corpus(str(root / "old"), n_sources=5, docs_total=400, k=8)
+    new = generate_corpus(
+        str(root / "new"), n_sources=3, docs_total=200, k=8, base_seed=777
+    )
+    return old, new
+
+
+class TestUpdate:
+    def test_update_equals_joint_build(self, ray_session, split_corpora, tmp_path_factory):
+        old, new = split_corpora
+        root = tmp_path_factory.mktemp("idx")
+        a = str(root / "a")
+        build_pipe.build_from_parquet(sorted(glob.glob(old + "/*.parquet")), CFG, a)
+        b = str(root / "b")
+        update_from_parquet(a, sorted(glob.glob(new + "/*.parquet")), b)
+        joint = str(root / "joint")
+        build_pipe.build_from_parquet(
+            sorted(glob.glob(old + "/*.parquet")) + sorted(glob.glob(new + "/*.parquet")),
+            CFG, joint,
+        )
+        assert _bank_state(b) == _bank_state(joint)
+        assert index_summary(b)["updated_from"] == os.path.abspath(a)
+
+    def test_update_refuses_in_place_and_config_change(self, ray_session, split_corpora, tmp_path_factory):
+        old, new = split_corpora
+        root = tmp_path_factory.mktemp("idx2")
+        a = str(root / "a")
+        build_pipe.build_from_parquet(sorted(glob.glob(old + "/*.parquet")), CFG, a)
+        with pytest.raises(ValueError):
+            update_from_parquet(a, new, a)
+        from metaprofi_ray.pipelines.update import update_index
+
+        with pytest.raises(ValueError):
+            update_index(a, build_pipe.read_tokens(new), str(root / "c"),
+                         cfg=SketchConfig(k=9))
+
+    def test_update_idempotent_for_duplicate_data(self, ray_session, split_corpora, tmp_path_factory):
+        """Re-adding the same rows must not change the Bloom banks (OR is
+        idempotent); counters grow, bits do not."""
+        old, _ = split_corpora
+        root = tmp_path_factory.mktemp("idx3")
+        a = str(root / "a")
+        files = sorted(glob.glob(old + "/*.parquet"))
+        build_pipe.build_from_parquet(files, CFG, a)
+        b = str(root / "b")
+        update_from_parquet(a, files, b)
+        sa, sb = _bank_state(a), _bank_state(b)
+        assert sa[0] == sb[0]  # identical bloom matrices
+        assert sb[2] == [2 * x for x in sa[2]]  # n_docs doubled
+
+
+class TestCheckpoint:
+    def test_checkpointed_equals_direct(self, ray_session, corpus_dir, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ck")
+        files = sorted(glob.glob(corpus_dir + "/*.parquet"))
+        direct = str(root / "direct")
+        build_pipe.build_from_parquet(files, CFG, direct)
+        ck = str(root / "ck")
+        rep = build_with_checkpoints(files, CFG, ck, n_partitions=3)
+        assert rep["built"] == 3 and rep["resumed"] == 0
+        assert _bank_state(ck) == _bank_state(direct)
+
+    def test_resume_skips_done_partitions(self, ray_session, corpus_dir, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ck2")
+        files = sorted(glob.glob(corpus_dir + "/*.parquet"))
+        ck = str(root / "ck")
+        build_with_checkpoints(files, CFG, ck, n_partitions=4)
+        before = _bank_state(ck)
+        # simulate a crash: destroy one partition + the final banks
+        shutil.rmtree(os.path.join(ck, "_ckpt", "partition=00002"))
+        shutil.rmtree(os.path.join(ck, "banks"))
+        rep = build_with_checkpoints(files, CFG, ck, n_partitions=4)
+        assert rep["resumed"] == 3 and rep["built"] == 1
+        assert _bank_state(ck) == before
+
+    def test_config_change_invalidates_checkpoints(self, ray_session, corpus_dir, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ck3")
+        files = sorted(glob.glob(corpus_dir + "/*.parquet"))
+        ck = str(root / "ck")
+        build_with_checkpoints(files, CFG, ck, n_partitions=2)
+        rep = build_with_checkpoints(
+            files, SketchConfig(k=8, h=3, m=1 << 16, shards=4), ck, n_partitions=2
+        )
+        assert rep["built"] == 2 and rep["resumed"] == 0
+
+    def test_lineage_recorded(self, ray_session, corpus_dir, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ck4")
+        files = sorted(glob.glob(corpus_dir + "/*.parquet"))
+        ck = str(root / "ck")
+        build_with_checkpoints(files, CFG, ck, n_partitions=2)
+        with open(os.path.join(ck, "_ckpt", "partition=00000", "manifest.json")) as f:
+            doc = json.load(f)
+        assert set(doc["files"]).issubset(set(files))
+        assert doc["n_docs"] > 0 and doc["wall_sec"] >= 0
+        assert doc["config"] == json.loads(CFG.to_json())
+
+
+class TestSummaryAndCli:
+    def test_summary(self, ray_session, corpus_dir, tmp_path_factory):
+        root = tmp_path_factory.mktemp("sm")
+        idx = str(root / "idx")
+        build_pipe.build_from_parquet(
+            sorted(glob.glob(corpus_dir + "/*.parquet")), CFG, idx
+        )
+        s = index_summary(idx)
+        assert s["n_sources"] == 8 and s["n_docs"] > 0
+        assert "n_windows" in format_summary(idx)
+
+    def test_cli_search_and_summary(self, ray_session, corpus_dir, tmp_path_factory, capsys):
+        from metaprofi_ray.cli import main as cli_main
+        from metaprofi_ray.sources.synth import make_queries
+
+        root = tmp_path_factory.mktemp("cli")
+        idx = str(root / "idx")
+        build_pipe.build_from_parquet(
+            sorted(glob.glob(corpus_dir + "/*.parquet")), CFG, idx
+        )
+        qpath = str(root / "q.parquet")
+        pq.write_table(make_queries(corpus_dir, CFG.k, n_exact=5, n_negative=5), qpath)
+        assert cli_main(["search", idx, qpath, "--theta", "75"]) == 0
+        out = capsys.readouterr().out
+        assert "Query:" in out
+        assert cli_main(["summary", idx]) == 0
+        assert "n_sources" in capsys.readouterr().out
