@@ -22,7 +22,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from metaprofi_ray.pipelines import ann, dedup, flagship, relational, textstats
+    from metaprofi_ray.pipelines import (
+        ann,
+        dedup,
+        flagship,
+        multimodal,
+        relational,
+        textstats,
+    )
 
     return {
         # --- sketch engine (SURVEY.md §2.4) -----------------------------
@@ -55,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": ann.lsh_topk,
         "knn_label_stats": ann.knn_label_stats,
+        # --- multimodal binary-column plumbing (decode stubbed) ---------
+        "media_bytes_per_kind": multimodal.media_bytes_per_kind,
+        "media_stats": multimodal.media_stats,
     }
 
 
@@ -157,6 +167,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "media_bytes_per_kind": """
+            WITH ordered AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
+            ), m AS (
+                SELECT octet_length(encode(text)) AS nb,
+                       (row_number() OVER (ORDER BY doc_id) - 1) % 3 AS kcode
+                FROM ordered
+            )
+            SELECT CASE kcode WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(nb) AS BIGINT) AS total_bytes
+            FROM m GROUP BY kcode
         """,
         "knn_label_stats": """
             WITH expl AS (

@@ -105,7 +105,10 @@ def bloom_query_self(sf_dir: str, theta: int = 100, n_queries: int = 40) -> pd.D
     cfg = DEFAULT_CFG
     docs = (
         tokens_dataset(sf_dir)
-        .filter(lambda r: r["n_tok"] >= cfg.k + 4)
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t["n_tok"], cfg.k + 4)),
+            batch_format="pyarrow",
+        )
         .limit(n_queries)
         .to_pandas()
     )

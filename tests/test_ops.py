@@ -1,0 +1,177 @@
+"""Correctness tests for the training-data operators (dedup, ANN, text,
+multimodal) against brute-force oracles on the sf0.001 driver tables."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(os.path.join(SF, "documents.parquet")).to_pandas()
+
+
+class TestExactDedup:
+    def test_matches_brute_force(self, ray_session, docs_df):
+        from metaprofi_ray.pipelines.dedup import exact_dedup
+
+        got = exact_dedup(SF).to_pandas()
+        import hashlib
+
+        truth = (
+            docs_df.assign(
+                text_md5=[hashlib.md5(t.encode()).hexdigest() for t in docs_df.text]
+            )
+            .groupby("text_md5")["doc_id"].min()
+        )
+        merged = got.set_index("text_md5")["keep_doc_id"].sort_index()
+        assert merged.equals(truth.sort_index())
+
+
+class TestMinHash:
+    def test_estimates_track_true_jaccard(self, ray_session, docs_df):
+        """MinHash est_jaccard within 0.25 of true word-3-gram Jaccard for
+        every reported candidate pair (64 perms -> se ~ 0.06)."""
+        from metaprofi_ray.pipelines.dedup import (
+            _word_shingles,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(SF, jaccard_threshold=0.3).to_pandas()
+        assert len(pairs) > 0
+        texts = docs_df.set_index("doc_id")["text"]
+        for _, r in pairs.iterrows():
+            sa = _word_shingles(texts[r.doc_a], 3)
+            sb = _word_shingles(texts[r.doc_b], 3)
+            true_j = len(sa & sb) / len(sa | sb)
+            assert abs(r.est_jaccard - true_j) < 0.25, (r.doc_a, r.doc_b)
+
+    def test_high_jaccard_pairs_recalled(self, ray_session, docs_df):
+        """Every pair with true Jaccard >= 0.8 must be found by the LSH
+        (16 bands x 4 rows: P(miss at j=0.8) ~ (1-0.8^4)^16 < 0.01)."""
+        from metaprofi_ray.pipelines.dedup import _word_shingles, minhash_lsh_pairs
+
+        texts = docs_df.set_index("doc_id")["text"]
+        sh = {d: _word_shingles(t, 3) for d, t in texts.items()}
+        truth = set()
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.8:
+                    truth.add((a, b))
+        got = minhash_lsh_pairs(SF, jaccard_threshold=0.5).to_pandas()
+        found = set(zip(got.doc_a, got.doc_b))
+        missed = truth - found
+        assert len(missed) <= max(1, len(truth) // 10), missed
+
+
+class TestSimhash:
+    def test_pairs_verify_hamming(self, ray_session):
+        from metaprofi_ray.pipelines.dedup import simhash_pairs, simhash_signatures
+
+        sigs = simhash_signatures(SF).to_pandas().set_index("doc_id")["simhash"]
+        pairs = simhash_pairs(SF, max_hamming=3).to_pandas()
+        for _, r in pairs.iterrows():
+            d = bin(int(sigs[r.doc_a]) ^ int(sigs[r.doc_b])).count("1")
+            assert d == r.hamming and d <= 3
+
+
+class TestAnn:
+    def test_brute_force_is_exact(self, ray_session):
+        from metaprofi_ray.pipelines.ann import brute_force_topk
+
+        emb = pq.read_table(os.path.join(SF, "embeddings.parquet")).to_pandas()
+        mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        q = mat[emb.vec_id.tolist().index(0)]
+        sims = mat @ q
+        order = np.lexsort((emb.vec_id.to_numpy(), -sims))
+        order = [i for i in order if emb.vec_id.iloc[i] != 0][:10]
+        expect = emb.vec_id.iloc[order].tolist()
+        got = brute_force_topk(SF, 0, 10)
+        assert got["vec_id"].tolist() == expect
+
+    def test_lsh_recall_reasonable(self, ray_session):
+        from metaprofi_ray.pipelines.ann import brute_force_topk, lsh_topk
+
+        exact = set(brute_force_topk(SF, 0, 10)["vec_id"])
+        approx = set(lsh_topk(SF, 0, 10, n_probe_buckets=8)["vec_id"])
+        # half the buckets probed -> expect >= 30% overlap on random-ish data
+        assert len(exact & approx) >= 3
+
+
+class TestTextStats:
+    def test_token_counts_match_split(self, ray_session, docs_df):
+        from metaprofi_ray.pipelines.textstats import token_counts
+
+        got = token_counts(SF).to_pandas().set_index("doc_id")["n_tokens"]
+        for d, t in docs_df.set_index("doc_id")["text"].items():
+            assert got[d] == len(t.split())
+
+    def test_quality_scores_ranges(self, ray_session):
+        from metaprofi_ray.pipelines.textstats import quality_scores
+
+        q = quality_scores(SF).to_pandas()
+        assert ((q.alpha_ratio >= 0) & (q.alpha_ratio <= 1)).all()
+        assert ((q.stopword_ratio >= 0) & (q.stopword_ratio <= 1)).all()
+        assert (q.n_chars > 0).all()
+
+    def test_langid_mechanism(self, ray_session):
+        """The driver's synthetic documents carry random lang labels over
+        uniformly English-ish text, so label accuracy is unmeasurable here;
+        assert the classifier mechanism instead: deterministic output, valid
+        label set, and the English markers dominating this corpus."""
+        from metaprofi_ray.pipelines.textstats import LangId, language_id
+
+        a = language_id(SF).to_pandas().sort_values("doc_id")
+        b = language_id(SF).to_pandas().sort_values("doc_id")
+        assert a.pred_lang.tolist() == b.pred_lang.tolist()
+        assert set(a.pred_lang) <= set(LangId.MARKERS) | {"unknown"}
+        assert (a.pred_lang == "en").mean() > 0.5
+
+    def test_fingerprints_deterministic_and_discriminative(self, ray_session):
+        from metaprofi_ray.pipelines.textstats import doc_fingerprints
+
+        a = doc_fingerprints(SF).to_pandas().sort_values("doc_id")
+        b = doc_fingerprints(SF).to_pandas().sort_values("doc_id")
+        assert a.fingerprint.tolist() == b.fingerprint.tolist()
+        assert a.fingerprint.nunique() > len(a) * 0.9
+
+
+class TestMultimodal:
+    def test_decode_stub_strict_raises(self):
+        from metaprofi_ray.pipelines.multimodal import DecodeStub, synthesize_media
+
+        media = synthesize_media(os.path.join(SF, "documents.parquet"), n=8)
+        with pytest.raises(NotImplementedError):
+            DecodeStub(strict=True)(media)
+
+    def test_pipeline_schema_and_determinism(self, ray_session):
+        from metaprofi_ray.pipelines.multimodal import media_pipeline
+
+        out = media_pipeline(os.path.join(SF, "documents.parquet")).to_pandas()
+        assert {"media_id", "kind", "width", "height", "n_frames",
+                "checksum", "out_width", "out_height"} <= set(out.columns)
+        assert (out.out_width <= 32).all() and (out.out_width > 0).all()
+        assert (out[out.kind == "image"].n_frames == 1).all()
+        out2 = media_pipeline(os.path.join(SF, "documents.parquet")).to_pandas()
+        assert out.sort_values("media_id").checksum.tolist() == \
+            out2.sort_values("media_id").checksum.tolist()
+
+    def test_frame_sample_plan(self):
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.multimodal import frame_sample_plan
+
+        batch = pa.table(
+            {"media_id": ["a", "b"], "n_frames": pa.array([12, 3], pa.int32())}
+        )
+        plan = frame_sample_plan(batch, every=5).to_pandas()
+        assert plan[plan.media_id == "a"].frame.tolist() == [0, 5, 10]
+        assert plan[plan.media_id == "b"].frame.tolist() == [0]
