@@ -51,6 +51,56 @@ def query_index(
     )
 
 
+def query_index_streaming(
+    index_dir: str,
+    queries: pa.Table,
+    theta: int = 100,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Scale path: the BANK dataset streams (never broadcast, never fully in
+    memory) while the query probe set is broadcast — for indexes whose
+    banks exceed worker memory (reference configs reach m = 4×10^10).
+
+    Equivalent results to ``query_index`` (property-tested); shuffle volume
+    is queries × sources_hit × shards_touched small mask rows, independent
+    of m.  See ``stages.probe_sharded`` for the protocol.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.io import BANKS, read_manifest
+    from ..stages.probe_sharded import (
+        QueryProbeSet,
+        ShardProber,
+        make_reduce_masks,
+    )
+
+    if not 1 <= theta <= 100:
+        raise ValueError("theta must be in [1, 100]")
+    cfg, _ = read_manifest(index_dir)
+    probe_ref = ray.put(QueryProbeSet(queries, cfg))
+    banks_dir = os.path.join(index_dir, BANKS)
+    keys = pq.read_table(banks_dir, columns=["source", "shard_id"])
+    source_shards: dict[str, set[int]] = {}
+    for s, sid in zip(keys["source"].to_pylist(), keys["shard_id"].to_pylist()):
+        if sid >= 0:
+            source_shards.setdefault(s, set()).add(sid)
+    source_shards_ref = ray.put(source_shards)
+    banks = rd.read_parquet(banks_dir, columns=["source", "shard_id", "bits"])
+    masks = banks.map_batches(
+        ShardProber,
+        fn_constructor_args=(probe_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return masks.groupby(["query_id", "source"]).map_groups(
+        make_reduce_masks(probe_ref, theta, source_shards_ref),
+        batch_format="pyarrow",
+    )
+
+
 def query_table(
     index_dir: str, queries: pa.Table, theta: int = 100
 ) -> pa.Table:

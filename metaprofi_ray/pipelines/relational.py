@@ -31,8 +31,12 @@ def _pq(sf_dir: str, name: str) -> str:
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q1-style pricing summary (grouped aggregate with derived
-    columns; the canonical groupby-shuffle benchmark)."""
+    """TPC-H Q1-style pricing summary.
+
+    Combiner pattern (ray_guide.md "Aggregation at scale"): each batch
+    pre-aggregates to ~6 partial rows inside ``map_batches``, so the
+    groupby shuffle moves O(blocks × groups) rows instead of every
+    lineitem row.  Means are finalized as sum/count after the merge."""
     ds = rd.read_parquet(
         _pq(sf_dir, "lineitem"),
         columns=[
@@ -41,32 +45,36 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         ],
     )
 
-    def derive(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
         )
-        return t.append_column("disc_price", disc_price)
 
-    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
     )
 
-    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = round_half_away(df["sum_qty"] / df["count_order"], 4)
+        df["avg_disc"] = round_half_away(df["sum_disc"] / df["count_order"], 4)
         for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
             df[c] = round_half_away(df[c], 2)
-        for c in ["avg_qty", "avg_disc"]:
-            df[c] = round_half_away(df[c], 4)
-        return df
+        return df[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_qty", "avg_disc", "count_order"]
+        ]
 
-    return agg.map_batches(round_cols, batch_format="pandas")
+    return agg.map_batches(fin, batch_format="pandas")
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -101,16 +109,20 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     (ray_guide.md streaming-shaped pattern)."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
-    def hour_key(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: pre-aggregate per batch so the shuffle moves
+        # O(blocks x windows) rows, not every event
         df["hour"] = df["ts"].dt.floor("h")
-        return df.drop(columns=["ts"])
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
 
     agg = (
-        ds.map_batches(hour_key, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby(["event_type", "hour"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
         )
     )
 
