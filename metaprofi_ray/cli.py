@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("index_dir")
     add_cfg(b)
 
+    bs = sub.add_parser("build-seq")
+    bs.add_argument("corpus")
+    bs.add_argument("index_dir")
+    add_cfg(bs)
+
     bc = sub.add_parser("build-ckpt")
     bc.add_argument("corpus")
     bc.add_argument("index_dir")
@@ -93,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
         cfg = SketchConfig(k=a.k, h=a.h, m=a.m, shards=a.shards)
         out = build_from_parquet(_resolve(a.corpus), cfg, a.index_dir)
         print(f"built index at {out}")
+    elif a.cmd == "build-seq":
+        owns_ray = _init_ray()
+        from .pipelines.build import build_seq_from_parquet
+
+        cfg = SketchConfig(k=a.k, h=a.h, m=a.m, shards=a.shards)
+        out = build_seq_from_parquet(_resolve(a.corpus), cfg, a.index_dir)
+        print(f"built sequence-level index at {out}")
     elif a.cmd == "build-ckpt":
         owns_ray = _init_ray()
         from .state.checkpoint import build_with_checkpoints

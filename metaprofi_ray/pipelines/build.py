@@ -89,3 +89,24 @@ def build_index(
 
 def build_from_parquet(path: str | list[str], cfg: SketchConfig, index_dir: str) -> str:
     return build_index(read_tokens(path), cfg, index_dir)
+
+
+def as_sequence_level(ds: rd.Dataset) -> rd.Dataset:
+    """Sequence-level mode (reference ``build-seq``,
+    /root/reference/metaprofi/lib/zarrstore_seq.py:42-44): every row becomes
+    its own sample — the Bloom column key switches from ``source`` to
+    ``doc_id``.  Everything downstream (merge, query, update, checkpoints)
+    is unchanged because it only ever keys on the ``source`` column."""
+
+    def relabel(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("source")
+        return t.set_column(i, "source", t.column("doc_id"))
+
+    return ds.map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_seq_from_parquet(
+    path: str | list[str], cfg: SketchConfig, index_dir: str
+) -> str:
+    """``metaprofi build-seq`` analogue: one Bloom bank per sequence."""
+    return build_index(as_sequence_level(read_tokens(path)), cfg, index_dir)

@@ -175,3 +175,36 @@ class TestSummaryAndCli:
         assert "Query:" in out
         assert cli_main(["summary", idx]) == 0
         assert "n_sources" in capsys.readouterr().out
+
+
+class TestBuildSeq:
+    def test_sequence_level_one_bank_per_doc(self, ray_session, corpus_dir, tmp_path_factory):
+        """build-seq analogue (zarrstore_seq.py semantics): every doc is its
+        own sample; querying a doc's own window hits exactly that doc-bank
+        (plus Bloom false positives)."""
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.build import build_seq_from_parquet
+        from metaprofi_ray.pipelines.query import query_table
+
+        root = tmp_path_factory.mktemp("seq")
+        idx = str(root / "idx")
+        files = sorted(_glob.glob(corpus_dir + "/*.parquet"))
+        build_seq_from_parquet(files, CFG, idx)
+        summary = pq.read_table(idx + "/sources.parquet")
+        t = pq.read_table(files, columns=["doc_id", "tokens", "n_tok"])
+        n_long = sum(1 for n in t["n_tok"].to_pylist() if n >= CFG.k)
+        assert summary.num_rows == n_long  # one bank per surviving doc
+        # self-query: first long doc
+        for row in range(t.num_rows):
+            if t["n_tok"][row].as_py() >= CFG.k:
+                doc = t["doc_id"][row].as_py()
+                toks = np.asarray(t["tokens"][row].as_py(), dtype=np.int32)
+                break
+        q = pa.table({"query_id": ["self"],
+                      "tokens": pa.array([toks[: CFG.k]], pa.list_(pa.int32()))})
+        hits = query_table(idx, q, theta=100)
+        assert doc in set(hits["source"].to_pylist())
