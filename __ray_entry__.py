@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "order_priority_counts": relational.order_priority_counts,
         "lineitem_filter_project": relational.lineitem_filter_project,
+        "events_prior_orders": relational.events_prior_orders,
+        "customers_without_orders": relational.customers_without_orders,
+        "events_running_value": relational.events_running_value,
         # --- training-data ops: text ------------------------------------
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -146,6 +149,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem WHERE l_quantity > 45.0
+        """,
+        "events_prior_orders": """
+            SELECT e.event_id,
+                   max(o.o_orderdate) AS last_order_date,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_prior_orders
+            FROM events e LEFT JOIN orders o
+              ON (o.o_custkey % 150) = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
+        "events_running_value": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_value
+            FROM events
         """,
         "token_counts": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tokens FROM documents

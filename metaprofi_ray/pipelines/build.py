@@ -61,26 +61,61 @@ def partial_banks(ds: rd.Dataset, cfg: SketchConfig) -> rd.Dataset:
     )
 
 
-def merge_banks(partials: rd.Dataset, cfg: SketchConfig) -> rd.Dataset:
-    """Global merge per (source, shard_id) — the A1 OR-merge shuffle."""
+def merge_banks(
+    partials: rd.Dataset, cfg: SketchConfig, salt_buckets: int = 0
+) -> rd.Dataset:
+    """Global merge per (source, shard_id) — the A1 OR-merge shuffle.
+
+    ``salt_buckets > 1`` enables the skew path (north_rule "skew-aware
+    splitting of hot sources"): partial rows are first merged per
+    (source, shard_id, salt) — a hot source's thousands of block partials
+    split across ``salt_buckets`` reducers — then the ≤ salt_buckets
+    intermediate rows per key merge in a second, tiny groupby.  The merges
+    are associative/commutative, so the result is byte-identical to the
+    single-level path (property-tested)."""
+    if salt_buckets > 1:
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            import numpy as np
+
+            # deterministic content-derived salt (no RNG: resume-safe)
+            salts = np.empty(t.num_rows, dtype=np.int32)
+            docs = t["n_docs"].to_numpy(zero_copy_only=False)
+            bits = t["bits"]
+            for i in range(t.num_rows):
+                b = bits[i].as_py()
+                seed = b[:32] if b else str(docs[i]).encode()
+                salts[i] = int.from_bytes(
+                    hashlib.blake2b(seed, digest_size=2).digest(), "little"
+                ) % salt_buckets
+            return t.append_column("salt", pa.array(salts, pa.int32()))
+
+        salted = partials.map_batches(add_salt, batch_format="pyarrow")
+        level1 = salted.groupby(["source", "shard_id", "salt"]).map_groups(
+            partial(merge_partials, cfg=cfg), batch_format="pyarrow"
+        )
+        partials = level1
     return partials.groupby(["source", "shard_id"]).map_groups(
         partial(merge_partials, cfg=cfg), batch_format="pyarrow"
     )
 
 
 def build_index(
-    ds: rd.Dataset, cfg: SketchConfig, index_dir: str
+    ds: rd.Dataset, cfg: SketchConfig, index_dir: str, salt_buckets: int = 0
 ) -> str:
     """End-to-end build; returns index_dir.
 
     Refuses to overwrite an existing index, mirroring the reference's
     FileExistsError gate (zarrstore.py:219-221) — updates go through
-    ``pipelines.update`` instead.
+    ``pipelines.update`` instead.  ``salt_buckets`` enables the two-level
+    skew-aware merge (see ``merge_banks``).
     """
     banks_dir = os.path.join(index_dir, bank_io.BANKS)
     if os.path.exists(os.path.join(index_dir, bank_io.MANIFEST)):
         raise FileExistsError(f"index already exists at {index_dir}")
-    merged = merge_banks(partial_banks(ds, cfg), cfg)
+    merged = merge_banks(partial_banks(ds, cfg), cfg, salt_buckets=salt_buckets)
     merged.write_parquet(banks_dir)
     bank_io.write_manifest(index_dir, cfg)
     bank_io.write_sources_summary(index_dir, cfg)

@@ -211,6 +211,104 @@ def order_priority_counts(sf_dir: str) -> rd.Dataset:
     return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
 
+def events_prior_orders(sf_dir: str) -> rd.Dataset:
+    """Point-in-time (as-of/range) join: for each event, the latest order
+    date and count of orders placed by its customer bucket
+    (``o_custkey % 150 == user_id``) at or before the event timestamp.
+
+    Orders (small side) are broadcast as per-bucket SORTED date arrays;
+    each event batch answers with one ``np.searchsorted`` per bucket — the
+    broadcast as-of pattern (ray_guide.md joins); no shuffle."""
+    orders = pd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    orders["bucket"] = orders["o_custkey"] % 150
+    by_bucket = {
+        int(b): np.sort(g["o_orderdate"].to_numpy())
+        for b, g in orders.groupby("bucket")
+    }
+    oref = ray.put(by_bucket)
+
+    class AsOf:
+        def __init__(self):
+            self.orders = ray.get(oref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_last = np.empty(len(df), dtype="datetime64[us]")
+            out_n = np.zeros(len(df), dtype=np.int64)
+            ts = df["ts"].to_numpy()
+            users = df["user_id"].to_numpy()
+            for b in np.unique(users):
+                dates = self.orders.get(int(b))
+                sel = users == b
+                if dates is None:
+                    out_last[sel] = np.datetime64("NaT")
+                    continue
+                idx = np.searchsorted(dates, ts[sel], side="right")
+                out_n[sel] = idx
+                has = idx > 0
+                last = np.full(sel.sum(), np.datetime64("NaT"), dtype="datetime64[us]")
+                last[has] = dates[idx[has] - 1]
+                out_last[sel] = last
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"].to_numpy(),
+                    "last_order_date": out_last,
+                    "n_prior_orders": out_n,
+                }
+            )
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=(1, 4))
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI join: customers with no URGENT-priority order (the
+    filtered key set of the big side is broadcast — ray_guide.md
+    semi/anti-join pattern; filter pushed down at the read)."""
+    import pyarrow.compute as pc
+
+    okeys = (
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderpriority"],
+            filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        )
+        .select_columns(["o_custkey"])
+        .to_pandas()
+    )
+    key_ref = ray.put(set(okeys["o_custkey"].tolist()))
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["c_custkey"].isin(self.keys)][["c_custkey", "c_name"]]
+
+    ds = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = ds.map_batches(Anti, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    if out.empty:  # keep a stable schema even when the anti join is empty
+        return pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype="object")}
+        )
+    return out
+
+
+def events_running_value(sf_dir: str) -> rd.Dataset:
+    """Per-user running sum over event time (cumulative window function):
+    ``groupby(user).map_groups`` over (ts, event_id)-sorted groups — the
+    deterministic tie-break makes the cumulative doubles bit-identical to
+    the SQL window oracle."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = round_half_away(g["value"].cumsum(), 2)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
 def lineitem_filter_project(sf_dir: str) -> rd.Dataset:
     """Vectorized filter + projection + computed column — the minimal
     map/filter/project chain, column-pruned at the read."""

@@ -208,3 +208,18 @@ class TestBuildSeq:
                       "tokens": pa.array([toks[: CFG.k]], pa.list_(pa.int32()))})
         hits = query_table(idx, q, theta=100)
         assert doc in set(hits["source"].to_pylist())
+
+
+class TestSaltedMerge:
+    def test_two_level_merge_equals_single_level(self, ray_session, corpus_dir, tmp_path_factory):
+        """Skew path: salted (source, shard, salt) pre-merge then final
+        merge must be byte-identical to the direct merge (associativity)."""
+        import glob as _glob
+
+        root = tmp_path_factory.mktemp("salt")
+        files = sorted(_glob.glob(corpus_dir + "/*.parquet"))
+        a = str(root / "a")
+        build_pipe.build_index(build_pipe.read_tokens(files), CFG, a)
+        b = str(root / "b")
+        build_pipe.build_index(build_pipe.read_tokens(files), CFG, b, salt_buckets=4)
+        assert _bank_state(a) == _bank_state(b)
