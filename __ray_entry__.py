@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketch engine (SURVEY.md §2.4) -----------------------------
         "bloom_build_sources": flagship.bloom_build_sources,
         "bloom_query_self": flagship.bloom_query_self,
+        "bloom_query_theta50": lambda sf_dir: flagship.bloom_query_self(sf_dir, theta=50),
+        "bloom_fpr_report": flagship.bloom_fpr_report,
         "hll_distinct_per_source": flagship.hll_distinct_per_source,
         "cms_token_estimates": flagship.cms_token_estimates,
         "doclen_quantiles": flagship.doclen_quantiles,
@@ -47,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "order_priority_counts": relational.order_priority_counts,
         "lineitem_filter_project": relational.lineitem_filter_project,
+        "distinct_segments": relational.distinct_segments,
         "events_prior_orders": relational.events_prior_orders,
         "customers_without_orders": relational.customers_without_orders,
         "events_running_value": relational.events_running_value,
@@ -149,6 +152,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem WHERE l_quantity > 45.0
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer
         """,
         "events_prior_orders": """
             SELECT e.event_id,

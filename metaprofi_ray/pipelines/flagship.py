@@ -172,6 +172,42 @@ def cms_token_estimates(sf_dir: str, tokens: tuple[str, ...] = ("the", "and", "d
     return pd.DataFrame(rows)
 
 
+def bloom_fpr_report(sf_dir: str, n_probes: int = 3000) -> pd.DataFrame:
+    """FPR accounting (SURVEY.md §7.3 / north_star): per source, the
+    HLL-estimated distinct-shingle count, the analytic bound
+    ``(1-e^{-h·n/m})^h`` with that ``n``, and the MEASURED false-positive
+    rate on deterministic negative probes (token ids outside the
+    tokenizer's vocab, so provably absent from the corpus)."""
+    cfg = DEFAULT_CFG
+    index_dir = build_index_for(sf_dir)
+    stats = _stats_rows(sf_dir)
+    rng = np.random.default_rng(4242)
+    probes = pa.table(
+        {
+            "query_id": [f"fp{i}" for i in range(n_probes)],
+            "tokens": pa.array(
+                [
+                    rng.integers(VOCAB * 2, VOCAB * 3, size=cfg.k, dtype=np.int32)
+                    for _ in range(n_probes)
+                ],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    hits = query_pipe.query_table(index_dir, probes, theta=100).to_pandas()
+    fp_per_source = hits.groupby("source").size()
+    rows = {"source": [], "hll_distinct": [], "fpr_bound": [], "measured_fpr": []}
+    for _, r in stats.iterrows():
+        est = hll_mod.estimate(hll_mod.from_bytes(r["hll"]))
+        rows["source"].append(r["source"])
+        rows["hll_distinct"].append(round(est, 1))
+        rows["fpr_bound"].append(round(cfg.fpr_bound(int(est)), 6))
+        rows["measured_fpr"].append(
+            round(float(fp_per_source.get(r["source"], 0)) / n_probes, 6)
+        )
+    return pd.DataFrame(rows)
+
+
 def doclen_quantiles(sf_dir: str) -> pd.DataFrame:
     """t-digest + KLL quantiles of the per-source document-length (n_tok)
     distribution, from the merged index stats rows."""

@@ -309,6 +309,13 @@ def events_running_value(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Dataset-level distinct (``ds.unique``-class operator, a shuffle)."""
+    ds = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
 def lineitem_filter_project(sf_dir: str) -> rd.Dataset:
     """Vectorized filter + projection + computed column — the minimal
     map/filter/project chain, column-pruned at the read."""

@@ -200,3 +200,16 @@ class TestQuery:
     def test_theta_validation(self, index_dir):
         with pytest.raises(ValueError):
             query_pipe.query_table(index_dir, pa.table({"query_id": [], "tokens": []}), theta=0)
+
+
+class TestFprAccounting:
+    def test_measured_fpr_within_hll_bound(self, ray_session):
+        """North-star FPR accounting: measured FPR on provably-absent
+        probes stays within the analytic bound computed from the HLL
+        estimate (3x slack + probe granularity for Poisson noise)."""
+        from metaprofi_ray.pipelines.flagship import bloom_fpr_report
+
+        df = bloom_fpr_report("/root/testdata/sf0.001", n_probes=2000)
+        assert len(df) > 0
+        slack = 3 * df["fpr_bound"] + 2.5 / 2000
+        assert (df["measured_fpr"] <= slack).all(), df[df.measured_fpr > slack]
