@@ -135,61 +135,90 @@ class MinHashSigner:
 
 def minhash_lsh_pairs(
     sf_dir: str, n_perm: int = 64, bands: int = 16, shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-) -> rd.Dataset:
+    jaccard_threshold: float = 0.5, n_buckets: int = 64,
+) -> pd.DataFrame:
     """Candidate pairs via LSH banding, verified with the MinHash-estimated
-    Jaccard.  Rows: (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    Jaccard.  Rows: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Stage shape matters more than per-row work here: sign+explode fuse
+    into ONE map_batches; the (band, key) buckets are then grouped by a
+    COARSE hash bucket ``key % n_buckets`` so the shuffle produces
+    ``n_buckets`` groups (not one per LSH bucket — per-group dispatch
+    overhead dwarfs the pairing work when most buckets are singletons),
+    and each group pairs its buckets with one vectorized pandas groupby.
+    Final cross-band dedupe happens on the driver: the pair list IS the
+    result and is small by construction."""
     rows_per_band = n_perm // bands
-    signed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashSigner,
+
+    class SignExplode(MinHashSigner):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sigs = MinHashSigner.__call__(self, df)
+            if len(sigs) == 0:
+                return pd.DataFrame(
+                    {"doc_id": [], "band": [], "key": [], "kb": [], "sig": []}
+                )
+            mat = np.stack(sigs["sig"].to_numpy())  # (n_docs, n_perm) uint64
+            n = len(sigs)
+            # vectorized band keys: murmur-mix the band's minima lanes
+            keys = np.zeros((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                acc = np.full(n, U64(0x9E3779B97F4A7C15), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    lane = mat[:, b * rows_per_band + r].copy()
+                    lane *= U64(0xFF51AFD7ED558CCD)
+                    lane ^= lane >> U64(33)
+                    acc ^= lane
+                    acc *= U64(0xC4CEB9FE1A85EC53)
+                keys[:, b] = acc ^ U64(b)
+            return pd.DataFrame(
+                {
+                    "doc_id": np.repeat(sigs["doc_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "key": keys.reshape(-1),
+                    "kb": (keys.reshape(-1) % U64(n_buckets)).astype(np.int32),
+                    "sig": [s for s in sigs["sig"] for _ in range(bands)],
+                }
+            )
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SignExplode,
         fn_constructor_kwargs={"n_perm": n_perm, "shingle_n": shingle_n},
         batch_format="pandas",
         concurrency=(1, 8),
     )
 
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_key, out_sig = [], [], [], []
-        for doc, sig in zip(df["doc_id"], df["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                key = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                out_doc.append(doc)
-                out_band.append(b)
-                out_key.append(key)
-                out_sig.append(sig)
-        return pd.DataFrame(
-            {"doc_id": out_doc, "band": out_band, "key": out_key, "sig": out_sig}
+    def pair_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+        for (_, _), bucket in g.groupby(["band", "key"], sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("doc_id")
+            docs = bucket["doc_id"].tolist()
+            sigs = [np.asarray(s, dtype=np.uint64) for s in bucket["sig"]]
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    est = float((sigs[i] == sigs[j]).mean())
+                    if est >= jaccard_threshold:
+                        out["doc_a"].append(docs[i])
+                        out["doc_b"].append(docs[j])
+                        out["est_jaccard"].append(round(est, 4))
+        return pd.DataFrame(out).astype(
+            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
         )
 
-    exploded = signed.map_batches(explode_bands, batch_format="pandas")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
-            )
-        g = g.sort_values("doc_id")
-        docs = g["doc_id"].tolist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        a_l, b_l, j_l = [], [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= jaccard_threshold:
-                    a_l.append(docs[i])
-                    b_l.append(docs[j])
-                    j_l.append(round(est, 4))
-        return pd.DataFrame({"doc_a": a_l, "doc_b": b_l, "est_jaccard": j_l})
-
-    pairs = exploded.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # a pair can match in multiple bands -> dedupe
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    pairs = exploded.groupby("kb").map_groups(
+        pair_bucket_group, batch_format="pandas"
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")}
+        )
+    # a pair can match in multiple bands -> keep the max estimate
+    return (
+        pairs.groupby(["doc_a", "doc_b"], as_index=False)["est_jaccard"].max()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 
@@ -228,29 +257,44 @@ def simhash_signatures(sf_dir: str, shingle_n: int = 2) -> rd.Dataset:
     )
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, n_buckets: int = 64
+) -> pd.DataFrame:
     """Near-dup pairs by SimHash: 4×16-bit block keys (pigeonhole — any pair
-    within Hamming distance 3 shares at least one exact 16-bit block),
-    groupby block key, verify Hamming inside the bucket."""
+    within Hamming distance 3 shares at least one exact 16-bit block).
+    Same stage shape as MinHash-LSH: one explode map, one coarse-bucket
+    groupby with vectorized intra-group verification, driver-side dedupe
+    of the small pair list."""
     sigs = simhash_signatures(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "block": [], "key": [], "simhash": []}
-        for doc, sh in zip(df["doc_id"], df["simhash"]):
-            sh = U64(sh)
-            for b in range(4):
-                rows["doc_id"].append(doc)
-                rows["block"].append(b)
-                rows["key"].append(int((sh >> U64(16 * b)) & U64(0xFFFF)))
-                rows["simhash"].append(sh)
-        return pd.DataFrame(rows)
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": [], "block": [], "key": [], "kb": [], "simhash": []})
+        sh = df["simhash"].to_numpy(dtype=np.uint64)
+        n = len(df)
+        blocks = np.arange(4, dtype=np.int32)
+        keys = np.stack(
+            [((sh >> U64(16 * b)) & U64(0xFFFF)).astype(np.int64) for b in range(4)],
+            axis=1,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "block": np.tile(blocks, n),
+                "key": keys.reshape(-1),
+                "kb": ((keys.reshape(-1) * 4 + np.tile(blocks, n)) % n_buckets).astype(np.int32),
+                "simhash": np.repeat(sh, 4),
+            }
+        )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        if len(g) >= 2:
-            g = g.sort_values("doc_id")
-            docs = g["doc_id"].tolist()
-            shs = g["simhash"].to_numpy(dtype=np.uint64)
+        for (_, _), bucket in g.groupby(["block", "key"], sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("doc_id")
+            docs = bucket["doc_id"].tolist()
+            shs = bucket["simhash"].to_numpy(dtype=np.uint64)
             for i in range(len(docs)):
                 x = shs[i] ^ shs[i + 1 :]
                 d = np.array([bin(int(v)).count("1") for v in x])
@@ -262,13 +306,21 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
 
-    pairs = sigs.map_batches(explode, batch_format="pandas").groupby(
-        ["block", "key"]
-    ).map_groups(verify, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    pairs = (
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(verify_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+    return (
+        pairs.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 
@@ -281,7 +333,7 @@ def ngram_jaccard_pairs(
     Small output → returned as pandas."""
     cands = minhash_lsh_pairs(
         sf_dir, jaccard_threshold=max(0.3, threshold - 0.2)
-    ).to_pandas()
+    )
     if cands.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),

@@ -42,7 +42,7 @@ class TestMinHash:
             minhash_lsh_pairs,
         )
 
-        pairs = minhash_lsh_pairs(SF, jaccard_threshold=0.3).to_pandas()
+        pairs = minhash_lsh_pairs(SF, jaccard_threshold=0.3)
         assert len(pairs) > 0
         texts = docs_df.set_index("doc_id")["text"]
         for _, r in pairs.iterrows():
@@ -65,7 +65,7 @@ class TestMinHash:
                 j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
                 if j >= 0.8:
                     truth.add((a, b))
-        got = minhash_lsh_pairs(SF, jaccard_threshold=0.5).to_pandas()
+        got = minhash_lsh_pairs(SF, jaccard_threshold=0.5)
         found = set(zip(got.doc_a, got.doc_b))
         missed = truth - found
         assert len(missed) <= max(1, len(truth) // 10), missed
@@ -76,7 +76,7 @@ class TestSimhash:
         from metaprofi_ray.pipelines.dedup import simhash_pairs, simhash_signatures
 
         sigs = simhash_signatures(SF).to_pandas().set_index("doc_id")["simhash"]
-        pairs = simhash_pairs(SF, max_hamming=3).to_pandas()
+        pairs = simhash_pairs(SF, max_hamming=3)
         for _, r in pairs.iterrows():
             d = bin(int(sigs[r.doc_a]) ^ int(sigs[r.doc_b])).count("1")
             assert d == r.hamming and d <= 3
