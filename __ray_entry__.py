@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_keep_canonical": dedup.dedup_keep_canonical,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # --- similarity search ------------------------------------------
         "ann_brute_topk": ann.brute_force_topk,

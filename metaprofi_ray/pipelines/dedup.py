@@ -356,6 +356,50 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------- dedup application (CC)
+def dedup_keep_canonical(
+    sf_dir: str, method: str = "minhash", **kwargs
+) -> pd.DataFrame:
+    """Apply near-dup pairs as an actual dedup: connected components over
+    the pair graph (union-find on the driver — justified because the pair
+    list is small by construction; at larger pair volumes this becomes a
+    few rounds of min-label propagation via groupby), keeping the smallest
+    doc_id of each component.  Returns (doc_id, keep, canonical)."""
+    import os
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(sf_dir, **kwargs)[["doc_a", "doc_b"]]
+    elif method == "simhash":
+        pairs = simhash_pairs(sf_dir, **kwargs)[["doc_a", "doc_b"]]
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    all_docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].tolist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    canonical = {d: find(int(d)) for d in all_docs}
+    return pd.DataFrame(
+        {
+            "doc_id": all_docs,
+            "canonical": [canonical[d] for d in all_docs],
+            "keep": [canonical[d] == d for d in all_docs],
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------- embedding near-dup
 def embedding_neardup_pairs(
     sf_dir: str, threshold: float = 0.4
