@@ -33,12 +33,38 @@ def bits_for_windows(
     return hashing.double_hash_bits(h1, h2, cfg.h, cfg.m)
 
 
-def set_bits_sharded(bits: np.ndarray, cfg: SketchConfig) -> dict[int, bytes]:
-    """OR a flat array of global bit indices into per-shard packed partials.
+# Shard-partial encodings.  Partial rows are the build's dominant shuffle
+# payload; when a block sets few bits of a shard, a sorted-unique uint32
+# index list is much smaller than the dense packed bitmap.  One tag byte
+# disambiguates:  b'D' + packed little-endian bytes  |  b'S' + uint32 LE ids.
+TAG_DENSE = b"D"
+TAG_SPARSE = b"S"
 
-    Returns {shard_id: packed shard bytes} for only the shards touched —
-    sparse output keeps per-batch partial rows small when a batch of one
-    source touches few shards.
+
+def encode_dense(packed: np.ndarray | bytes) -> bytes:
+    b = packed.tobytes() if isinstance(packed, np.ndarray) else packed
+    return TAG_DENSE + b
+
+
+def decode_dense(buf: bytes, shard_bytes: int) -> np.ndarray:
+    """Dense uint8 bitmap from either encoding (zero-copy view for dense)."""
+    tag = buf[:1]
+    if tag == TAG_DENSE:
+        return np.frombuffer(buf, dtype=np.uint8, offset=1)
+    if tag == TAG_SPARSE:
+        idx = np.frombuffer(buf, dtype=np.uint32, offset=1)
+        unpacked = np.zeros(shard_bytes * 8, dtype=bool)
+        unpacked[idx] = True
+        return np.packbits(unpacked, bitorder="little")
+    raise ValueError(f"unknown shard encoding tag {tag!r}")
+
+
+def set_bits_sharded(bits: np.ndarray, cfg: SketchConfig) -> dict[int, bytes]:
+    """OR a flat array of global bit indices into per-shard partials.
+
+    Returns {shard_id: encoded shard bytes} for only the shards touched;
+    each shard independently picks the smaller encoding (sparse unique-id
+    list vs dense bitmap).
     """
     if bits.size == 0:
         return {}
@@ -51,18 +77,40 @@ def set_bits_sharded(bits: np.ndarray, cfg: SketchConfig) -> dict[int, bytes]:
         sel = shard_ids == sid
         if not sel.any():
             continue
-        unpacked = np.zeros(cfg.shard_bits, dtype=bool)
-        unpacked[local[sel]] = True
-        out[int(sid)] = np.packbits(unpacked, bitorder="little").tobytes()
+        ids = np.unique(local[sel]).astype(np.uint32)
+        if 4 * ids.size < cfg.shard_bytes:
+            out[int(sid)] = TAG_SPARSE + ids.tobytes()
+        else:
+            unpacked = np.zeros(cfg.shard_bits, dtype=bool)
+            unpacked[ids] = True
+            out[int(sid)] = TAG_DENSE + np.packbits(
+                unpacked, bitorder="little"
+            ).tobytes()
     return out
 
 
-def or_merge(parts: list[bytes]) -> bytes:
-    """Associative OR of equally-sized packed shard partials."""
-    acc = np.frombuffer(parts[0], dtype=np.uint8).copy()
-    for p in parts[1:]:
-        acc |= np.frombuffer(p, dtype=np.uint8)
-    return acc.tobytes()
+def or_merge(parts: list[bytes], shard_bytes: int | None = None) -> bytes:
+    """Associative OR of shard partials in any mix of encodings.  Output is
+    always tagged dense (queries decode with ``decode_dense``)."""
+    if shard_bytes is None:
+        # infer from any dense part
+        dense = [p for p in parts if p[:1] == TAG_DENSE]
+        if not dense:
+            raise ValueError("or_merge needs shard_bytes when all parts are sparse")
+        shard_bytes = len(dense[0]) - 1
+    acc = np.zeros(shard_bytes, dtype=np.uint8)
+    sparse_ids: list[np.ndarray] = []
+    for p in parts:
+        if p[:1] == TAG_SPARSE:
+            sparse_ids.append(np.frombuffer(p, dtype=np.uint32, offset=1))
+        else:
+            acc |= decode_dense(p, shard_bytes)
+    if sparse_ids:
+        ids = np.concatenate(sparse_ids)
+        unpacked = np.zeros(shard_bytes * 8, dtype=bool)
+        unpacked[ids] = True
+        acc |= np.packbits(unpacked, bitorder="little")
+    return TAG_DENSE + acc.tobytes()
 
 
 def contains_counts(

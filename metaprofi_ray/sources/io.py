@@ -115,7 +115,7 @@ class BankIndex:
                 )
             bits = banks["bits"][row].as_py()
             src = banks["source"][row].as_py()
-            matrices[sid][col_of[src]] = np.frombuffer(bits, dtype=np.uint8)
+            matrices[sid][col_of[src]] = bloom.decode_dense(bits, cfg.shard_bytes)
         return cls(cfg, sources, matrices, summary)
 
     def fill_fraction(self) -> dict[str, float]:

@@ -163,7 +163,8 @@ def merge_partials(group: pa.Table, cfg: SketchConfig) -> pa.Table:
     source = group["source"][0].as_py()
     if shard_id >= 0:
         merged = bloom.or_merge(
-            [v for v in group["bits"].to_pylist() if v is not None]
+            [v for v in group["bits"].to_pylist() if v is not None],
+            shard_bytes=cfg.shard_bytes,
         )
         return pa.table(
             {

@@ -82,7 +82,8 @@ def _masks_for_bank_row(
     if entries is None:
         return None
     local, entry_win, _ = entries
-    bank = np.frombuffer(bits_buf, dtype=np.uint8)
+    # merged bank rows are always tagged dense (or_merge output)
+    bank = bloom.decode_dense(bits_buf, len(bits_buf) - 1)
     present = (bank[local // 8] >> (local % 8).astype(np.uint8)) & 1
     # window bit clears when ANY of its probes in this shard is absent
     mask_bits = np.ones(probe.n_wins_total, dtype=bool)

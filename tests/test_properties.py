@@ -61,15 +61,23 @@ def test_sharded_or_merge_order_invariant(bits, data):
     )
     idx = np.asarray(idx)
     parts = [arr[idx == j] for j in range(3)]
-    whole = bloom.set_bits_sharded(arr, cfg)
+    whole = {
+        sid: bloom.decode_dense(b, cfg.shard_bytes).tobytes()
+        for sid, b in bloom.set_bits_sharded(arr, cfg).items()
+    }
     for order in ([0, 1, 2], [2, 0, 1]):
         merged: dict[int, bytes] = {}
         for j in order:
             for sid, b in bloom.set_bits_sharded(parts[j], cfg).items():
                 merged[sid] = (
-                    bloom.or_merge([merged[sid], b]) if sid in merged else b
+                    bloom.or_merge([merged[sid], b], shard_bytes=cfg.shard_bytes)
+                    if sid in merged else b
                 )
-        assert merged == whole
+        merged_dense = {
+            sid: bloom.decode_dense(b, cfg.shard_bytes).tobytes()
+            for sid, b in merged.items()
+        }
+        assert merged_dense == whole
 
 
 @given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=500))

@@ -29,7 +29,8 @@ class TestBloom:
         shards = bloom.set_bits_sharded(bits, CFG)
         # probe the same windows: every (window, hash) bit must be set
         mats = {
-            sid: np.frombuffer(b, dtype=np.uint8)[None, :] for sid, b in shards.items()
+            sid: bloom.decode_dense(b, CFG.shard_bytes)[None, :]
+            for sid, b in shards.items()
         }
         flat = bits.reshape(-1)
         present = np.zeros(flat.size, dtype=np.uint8)
@@ -49,8 +50,9 @@ class TestBloom:
         shards = bloom.set_bits_sharded(bits, CFG)
         full = np.concatenate(
             [
-                np.frombuffer(
-                    shards.get(s, bytes(CFG.shard_bytes)), dtype=np.uint8
+                bloom.decode_dense(
+                    shards.get(s, bloom.TAG_DENSE + bytes(CFG.shard_bytes)),
+                    CFG.shard_bytes,
                 )
                 for s in range(CFG.shards)
             ]
@@ -73,9 +75,9 @@ class TestBloom:
             vals, starts = _windows(rng, 500)
             bits = bloom.bits_for_windows(vals, starts, CFG)
             sh = bloom.set_bits_sharded(bits, CFG)
-            parts.append(sh.get(0, bytes(CFG.shard_bytes)))
-        ltr = bloom.or_merge(parts)
-        rtl = bloom.or_merge(parts[::-1])
+            parts.append(sh.get(0, bloom.TAG_DENSE + bytes(CFG.shard_bytes)))
+        ltr = bloom.or_merge(parts, shard_bytes=CFG.shard_bytes)
+        rtl = bloom.or_merge(parts[::-1], shard_bytes=CFG.shard_bytes)
         assert ltr == rtl
         assert bloom.or_merge([ltr, ltr]) == ltr  # idempotent
 
@@ -87,11 +89,17 @@ class TestBloom:
         bits = bloom.bits_for_windows(vals, starts, CFG)
         sharded = bloom.set_bits_sharded(bits, CFG)
         cfg1 = SketchConfig(k=8, h=2, m=CFG.m, shards=1)
-        unsharded = bloom.set_bits_sharded(bits, cfg1)[0]
-        cat = b"".join(
-            sharded.get(s, bytes(CFG.shard_bytes)) for s in range(CFG.shards)
+        unsharded = bloom.decode_dense(
+            bloom.set_bits_sharded(bits, cfg1)[0], cfg1.shard_bytes
         )
-        assert cat == unsharded
+        cat = np.concatenate([
+            bloom.decode_dense(
+                sharded.get(s, bloom.TAG_DENSE + bytes(CFG.shard_bytes)),
+                CFG.shard_bytes,
+            )
+            for s in range(CFG.shards)
+        ])
+        assert cat.tobytes() == unsharded.tobytes()
 
 
 # ---------------------------------------------------------------- HLL
