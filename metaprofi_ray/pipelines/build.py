@@ -62,7 +62,10 @@ def partial_banks(ds: rd.Dataset, cfg: SketchConfig) -> rd.Dataset:
 
 
 def merge_banks(
-    partials: rd.Dataset, cfg: SketchConfig, salt_buckets: int = 0
+    partials: rd.Dataset,
+    cfg: SketchConfig,
+    salt_buckets: int = 0,
+    pre_coalesce: int | None = 64,
 ) -> rd.Dataset:
     """Global merge per (source, shard_id) — the A1 OR-merge shuffle.
 
@@ -72,7 +75,21 @@ def merge_banks(
     split across ``salt_buckets`` reducers — then the ≤ salt_buckets
     intermediate rows per key merge in a second, tiny groupby.  The merges
     are associative/commutative, so the result is byte-identical to the
-    single-level path (property-tested)."""
+    single-level path (property-tested).
+
+    ``pre_coalesce``: first coalesce partial rows into that many blocks
+    (cheap repartition, NO key shuffle) and merge same-key rows within
+    each block (``local_merge_batch``) — with source-contiguous input this
+    shrinks the keyed sort's payload to roughly the final bank size."""
+    if pre_coalesce:
+        from ..stages.bloom_build import local_merge_batch
+
+        partials = partials.repartition(pre_coalesce).map_batches(
+            partial(local_merge_batch, cfg=cfg),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
     if salt_buckets > 1:
 
         def add_salt(t: pa.Table) -> pa.Table:

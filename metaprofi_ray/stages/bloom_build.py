@@ -154,6 +154,28 @@ def partial_sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
     return pa.table(out, schema=PARTIAL_SCHEMA)
 
 
+def local_merge_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
+    """Combiner stage: merge partial rows sharing (source, shard_id) WITHIN
+    one coalesced block — no shuffle involved.  With source-contiguous
+    input layout this collapses each key's per-block partials to ~1 row
+    before the keyed groupby, so the sort moves O(final bank) bytes rather
+    than O(blocks × shard_bytes).  Output rows are still valid partials
+    (merges are associative)."""
+    if batch.num_rows == 0:
+        return PARTIAL_SCHEMA.empty_table()
+    import collections
+
+    keys: dict[tuple[str, int], list[int]] = collections.defaultdict(list)
+    src = batch["source"].to_pylist()
+    sid = batch["shard_id"].to_pylist()
+    for i in range(batch.num_rows):
+        keys[(src[i], sid[i])].append(i)
+    outs = []
+    for idx in keys.values():
+        outs.append(merge_partials(batch.take(idx), cfg))
+    return pa.concat_tables(outs)
+
+
 def merge_partials(group: pa.Table, cfg: SketchConfig) -> pa.Table:
     """Grouped merge for one (source, shard_id) key: OR bloom shards /
     max HLL / sum CMS / centroid- and compactor-merge the quantile sketches.
