@@ -24,6 +24,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from metaprofi_ray.pipelines import (
         ann,
+        clustering,
         dedup,
         flagship,
         multimodal,
@@ -50,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": relational.order_priority_counts,
         "lineitem_filter_project": relational.lineitem_filter_project,
         "distinct_segments": relational.distinct_segments,
+        "top_parts_per_brand": relational.top_parts_per_brand,
+        "kmeans_embeddings": clustering.kmeans_embeddings,
         "events_prior_orders": relational.events_prior_orders,
         "customers_without_orders": relational.customers_without_orders,
         "events_running_value": relational.events_running_value,
@@ -156,6 +159,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice FROM part
+            QUALIFY row_number() OVER (
+                PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey ASC
+            ) <= 3
         """,
         "events_prior_orders": """
             SELECT e.event_id,

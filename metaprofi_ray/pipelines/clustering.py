@@ -1,0 +1,80 @@
+"""Iterative distributed algorithms over the embeddings table.
+
+Mini-batch-free Lloyd's k-means as the canonical iterative pattern the
+Dataset API supports naturally: per iteration, centroids are broadcast
+(``ray.put``), every batch emits per-cluster partial sums/counts (the
+combiner), and the tiny partial table reduces on the driver — k×blocks
+rows, never the vectors themselves.  Deterministic: seeded init, fixed
+iteration count, float64 accumulation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 10, iters: int = 5, seed: int = 5
+) -> pd.DataFrame:
+    """Returns per-cluster (cluster, size, inertia_sum) after ``iters``
+    Lloyd iterations; centroids init = k seeded random corpus rows."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    boot = pd.read_parquet(path, columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(seed)
+    init_rows = rng.choice(len(boot), size=min(k, len(boot)), replace=False)
+    centroids = np.stack(boot["embedding"].iloc[init_rows].to_numpy()).astype(np.float64)
+
+    ds = rd.read_parquet(path, columns=["embedding"])
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        class Assign:
+            def __init__(self):
+                self.c = ray.get(cref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                d2 = (
+                    (mat * mat).sum(1)[:, None]
+                    - 2 * mat @ self.c.T
+                    + (self.c * self.c).sum(1)[None, :]
+                )
+                lab = d2.argmin(1)
+                rows = {"cluster": [], "n": [], "vec_sum": [], "inertia": []}
+                for c in np.unique(lab):
+                    sel = lab == c
+                    rows["cluster"].append(int(c))
+                    rows["n"].append(int(sel.sum()))
+                    rows["vec_sum"].append(mat[sel].sum(0).tobytes())
+                    rows["inertia"].append(float(d2[sel, c].sum()))
+                return pd.DataFrame(rows)
+
+        partials = ds.map_batches(
+            Assign, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
+        ).to_pandas()  # k x blocks tiny rows
+        dim = centroids.shape[1]
+        new = centroids.copy()
+        for c, g in partials.groupby("cluster"):
+            total = g["n"].sum()
+            vec = np.zeros(dim)
+            for b in g["vec_sum"]:
+                vec += np.frombuffer(b, dtype=np.float64)
+            new[c] = vec / max(total, 1)
+        centroids = new
+        last = partials
+
+    out = (
+        last.groupby("cluster", as_index=False)
+        .agg(size=("n", "sum"), inertia_sum=("inertia", "sum"))
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["inertia_sum"] = out["inertia_sum"].round(4)
+    return out

@@ -309,6 +309,22 @@ def events_running_value(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
+def top_parts_per_brand(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """Top-N-per-group window operator: the 3 priciest parts of every
+    brand (``groupby(brand).map_groups`` head with deterministic
+    tie-break — the per-partition ``row_number() <= n`` pattern)."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "part"), columns=["p_brand", "p_partkey", "p_retailprice"]
+    )
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["p_retailprice", "p_partkey"], ascending=[False, True]
+        ).head(n)
+
+    return ds.groupby("p_brand").map_groups(topn, batch_format="pandas")
+
+
 def distinct_segments(sf_dir: str) -> pd.DataFrame:
     """Dataset-level distinct (``ds.unique``-class operator, a shuffle)."""
     ds = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_mktsegment"])

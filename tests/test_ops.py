@@ -175,3 +175,44 @@ class TestMultimodal:
         plan = frame_sample_plan(batch, every=5).to_pandas()
         assert plan[plan.media_id == "a"].frame.tolist() == [0, 5, 10]
         assert plan[plan.media_id == "b"].frame.tolist() == [0]
+
+
+class TestClustering:
+    def test_kmeans_converges_and_deterministic(self, ray_session):
+        from metaprofi_ray.pipelines.clustering import kmeans_embeddings
+
+        a = kmeans_embeddings(SF, k=8, iters=4)
+        b = kmeans_embeddings(SF, k=8, iters=4)
+        assert a.equals(b)  # deterministic
+        assert a["size"].sum() == 500
+        one = kmeans_embeddings(SF, k=8, iters=1)
+        # more iterations must not increase total inertia (Lloyd monotone)
+        assert a["inertia_sum"].sum() <= one["inertia_sum"].sum() + 1e-6
+
+
+class TestValidate:
+    def test_validate_tokens_gate(self):
+        import pyarrow as pa
+
+        from metaprofi_ray.functions.validate import (
+            TokensSchemaError,
+            validate_tokens,
+        )
+
+        good = pa.table(
+            {
+                "doc_id": ["a"],
+                "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+                "n_tok": pa.array([3], pa.int32()),
+                "source": ["s"],
+            }
+        )
+        assert validate_tokens(good) is good
+        bad_len = good.set_column(2, "n_tok", pa.array([5], pa.int32()))
+        with pytest.raises(TokensSchemaError, match="mismatch"):
+            validate_tokens(bad_len)
+        bad_src = good.set_column(3, "source", pa.array([""], pa.string()))
+        with pytest.raises(TokensSchemaError, match="empty"):
+            validate_tokens(bad_src)
+        with pytest.raises(TokensSchemaError, match="missing"):
+            validate_tokens(good.drop_columns(["source"]))
