@@ -77,9 +77,18 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("new_corpus")
     u.add_argument("out_dir")
 
+    us = sub.add_parser("update-seq")
+    us.add_argument("index_dir")
+    us.add_argument("new_corpus")
+    us.add_argument("out_dir")
+
     s = sub.add_parser("search")
     s.add_argument("index_dir")
-    s.add_argument("queries")
+    s.add_argument("queries", nargs="?", default=None,
+                   help="query parquet (omit when using --seq)")
+    s.add_argument("--seq", default=None,
+                   help="single inline query: comma-separated token ids "
+                        "(reference search_index -s analogue)")
     s.add_argument("--theta", type=int, default=100)
     s.add_argument("--out", default=None)
 
@@ -118,21 +127,41 @@ def main(argv: list[str] | None = None) -> int:
 
         out = update_from_parquet(a.index_dir, _resolve(a.new_corpus), a.out_dir)
         print(f"updated index at {out}")
+    elif a.cmd == "update-seq":
+        owns_ray = _init_ray()
+        from .pipelines.build import as_sequence_level, read_tokens
+        from .pipelines.update import update_index
+
+        out = update_index(
+            a.index_dir, as_sequence_level(read_tokens(_resolve(a.new_corpus))), a.out_dir
+        )
+        print(f"updated sequence-level index at {out}")
     elif a.cmd == "search":
         owns_ray = _init_ray()
-        import ray.data as rd
+        import pyarrow as pa
 
-        from .pipelines.query import format_report, query_index
+        from .pipelines.query import format_report, query_index, query_table
 
-        hits = query_index(a.index_dir, rd.read_parquet(a.queries), theta=a.theta)
-        if a.out:
-            hits.write_parquet(a.out)
-            print(f"hits written to {a.out}")
-        else:
-            import pyarrow as pa
-
-            tbl = pa.Table.from_pandas(hits.to_pandas())
+        if a.seq is not None:
+            tokens = [int(t) for t in a.seq.split(",") if t.strip()]
+            q = pa.table(
+                {"query_id": ["seq-0"],
+                 "tokens": pa.array([tokens], pa.list_(pa.int32()))}
+            )
+            tbl = query_table(a.index_dir, q, theta=a.theta)
             sys.stdout.write(format_report(tbl, a.theta))
+        else:
+            if a.queries is None:
+                p.error("search needs a query parquet path or --seq")
+            import ray.data as rd
+
+            hits = query_index(a.index_dir, rd.read_parquet(a.queries), theta=a.theta)
+            if a.out:
+                hits.write_parquet(a.out)
+                print(f"hits written to {a.out}")
+            else:
+                tbl = pa.Table.from_pandas(hits.to_pandas())
+                sys.stdout.write(format_report(tbl, a.theta))
     elif a.cmd == "summary":
         from .pipelines.summary import format_summary
 
