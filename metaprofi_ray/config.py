@@ -18,7 +18,7 @@ import json
 import math
 from dataclasses import asdict, dataclass, field, replace
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: tagged sparse/dense shard encodings in bank rows
 
 # Bits are always packed little-endian within a byte, matching the reference's
 # setbit layout (/root/reference/metaprofi/lib/bloomfilter_cython.pyx:47-59:

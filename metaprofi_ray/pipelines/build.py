@@ -132,6 +132,11 @@ def build_index(
     banks_dir = os.path.join(index_dir, bank_io.BANKS)
     if os.path.exists(os.path.join(index_dir, bank_io.MANIFEST)):
         raise FileExistsError(f"index already exists at {index_dir}")
+    if os.path.exists(banks_dir):
+        # banks without a manifest = an interrupted build; never append to it
+        import shutil
+
+        shutil.rmtree(banks_dir)
     merged = merge_banks(partial_banks(ds, cfg), cfg, salt_buckets=salt_buckets)
     merged.write_parquet(banks_dir)
     bank_io.write_manifest(index_dir, cfg)

@@ -74,13 +74,22 @@ def tokens_dataset(sf_dir: str) -> rd.Dataset:
 
 
 def build_index_for(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> str:
-    """Build (or reuse this process's cached) index for an sf dir."""
+    """Build (or reuse the cached) index for an sf dir.  The cache key
+    includes a hash of the frozen config + on-disk format version, so a
+    format or parameter change can never resurrect a stale index (PID
+    alone is unsafe — PIDs recycle)."""
+    import hashlib
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    key = hashlib.blake2b(cfg.to_json().encode(), digest_size=6).hexdigest()
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"metaprofi_ray_index_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"metaprofi_ray_index_{tag}_{key}"
     )
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        build_pipe.build_index(tokens_dataset(sf_dir), cfg, index_dir)
+        try:
+            build_pipe.build_index(tokens_dataset(sf_dir), cfg, index_dir)
+        except FileExistsError:
+            pass  # concurrent builder finished first; reuse its output
     return index_dir
 
 
