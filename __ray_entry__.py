@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_value": relational.events_running_value,
         # --- training-data ops: text ------------------------------------
         "token_counts": textstats.token_counts,
+        "documents_sample": textstats.documents_sample,
+        "token_topk": textstats.token_topk,
         "quality_scores": textstats.quality_scores,
         "language_id": textstats.language_id,
         "doc_fingerprints": textstats.doc_fingerprints,
@@ -192,6 +194,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tokens FROM documents
+        """,
+        "documents_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10
+        """,
+        "token_topk": f"""
+            WITH words AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM words
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id

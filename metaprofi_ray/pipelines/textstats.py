@@ -147,6 +147,55 @@ def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def documents_sample(sf_dir: str, pct: int = 10) -> rd.Dataset:
+    """Deterministic content-keyed sampling: keep a doc iff
+    ``int(md5(doc_id)[:4 hex], 16) % 100 < pct``.  Unlike seeded RNG
+    sampling this is reproducible across any partitioning/parallelism AND
+    expressible in SQL, so the driver can oracle-check it exactly."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 100 < pct
+            for d in df["doc_id"]
+        ]
+        return df[pd.Series(keep, index=df.index)][["doc_id", "source", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def token_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Exact corpus-wide token frequency top-k: per-batch token counting
+    (the combiner) → groupby(token).sum → top-k with deterministic
+    tie-break.  The exact counterpart of the CMS estimates (tests assert
+    CMS >= exact on these heavy hitters)."""
+    from ray.data.aggregate import Sum
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(t.split())
+        return pd.DataFrame(
+            {"token": list(c.keys()), "n": np.fromiter(c.values(), dtype=np.int64)}
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        count_tokens, batch_format="pandas", batch_size=None
+    )
+    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    top = (
+        agg.to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["n"] = top["n"].astype("int64")
+    return top
+
+
 def langid_accuracy(sf_dir: str) -> pd.DataFrame:
     """Predicted vs labeled language confusion summary (diagnostic)."""
     pred = language_id(sf_dir).to_pandas()

@@ -213,3 +213,33 @@ class TestFprAccounting:
         assert len(df) > 0
         slack = 3 * df["fpr_bound"] + 2.5 / 2000
         assert (df["measured_fpr"] <= slack).all(), df[df.measured_fpr > slack]
+
+
+class TestRealisticM:
+    def test_big_m_sharded_build_and_query(self, ray_session, corpus_dir, tmp_path_factory):
+        """Reference-scale m (2^28 bits = 32 MB/source) with 32 shards:
+        sharding keeps every merge buffer at 1 MB, sparse encoding keeps
+        partials tiny, and query semantics hold unchanged."""
+        import glob as _glob
+
+        big = SketchConfig(k=8, h=2, m=1 << 28, shards=32)
+        root = tmp_path_factory.mktemp("bigm")
+        idx = str(root / "idx")
+        files = sorted(_glob.glob(corpus_dir + "/*.parquet"))
+        build_pipe.build_from_parquet(files, big, str(idx))
+        queries = make_queries(corpus_dir, big.k, n_exact=10, n_negative=10)
+        hits = query_pipe.query_table(idx, queries, theta=100)
+        got = {
+            (hits["query_id"][r].as_py(), hits["source"][r].as_py())
+            for r in range(hits.num_rows)
+        }
+        # all exact positives must self-hit; at this m false positives ~ 0
+        for row in range(queries.num_rows):
+            qid = queries["query_id"][row].as_py()
+            if qid.startswith("exact-"):
+                owner = qid.split("|")[1].split("-doc")[0]
+                assert (qid, owner) in got
+        import pyarrow.parquet as _pq
+
+        banks = _pq.read_table(idx + "/banks", columns=["shard_id"])
+        assert banks.num_rows <= 8 * 33  # 8 sources x (32 shards + stats)

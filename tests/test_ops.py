@@ -216,3 +216,32 @@ class TestValidate:
             validate_tokens(bad_src)
         with pytest.raises(TokensSchemaError, match="missing"):
             validate_tokens(good.drop_columns(["source"]))
+
+
+class TestTokenTopk:
+    def test_cms_dominates_exact_counts(self, ray_session):
+        """CMS point estimates must be >= the exact corpus counts of the
+        heavy hitters (over the derived tokens corpus, same hashing)."""
+        from metaprofi_ray.pipelines.flagship import DEFAULT_CFG, _stats_rows
+        from metaprofi_ray.pipelines.textstats import token_topk
+        from metaprofi_ray.sketches import cms as cms_mod
+        from metaprofi_ray.sources.synth import VOCAB, stable_hash
+
+        top = token_topk(SF, k=10)
+        stats = _stats_rows(SF)
+        cfg = DEFAULT_CFG
+        # aggregate CMS estimate across sources must cover the global count
+        probe = np.array(
+            [stable_hash(w) % VOCAB for w in top["token"]], dtype=np.int32
+        )
+        est_total = np.zeros(len(probe), dtype=np.uint64)
+        for _, r in stats.iterrows():
+            table = cms_mod.from_bytes(r["cms"], cfg.cms_d, cfg.cms_w)
+            est_total += cms_mod.query(table, probe)
+        assert (est_total.astype(np.int64) >= top["n"].to_numpy()).all()
+
+    def test_sample_fraction_plausible(self, ray_session):
+        from metaprofi_ray.pipelines.textstats import documents_sample
+
+        n = documents_sample(SF, pct=10).count()
+        assert 20 <= n <= 90  # ~10% of 500 with binomial slack
