@@ -154,11 +154,14 @@ def documents_sample(sf_dir: str, pct: int = 10) -> rd.Dataset:
     expressible in SQL, so the driver can oracle-check it exactly."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        keep = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 100 < pct
-            for d in df["doc_id"]
-        ]
-        return df[pd.Series(keep, index=df.index)][["doc_id", "source", "n_chars"]]
+        keep = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 100 < pct
+                for d in df["doc_id"]
+            ],
+            dtype=bool,
+        )
+        return df.loc[keep, ["doc_id", "source", "n_chars"]]
 
     return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
         f, batch_format="pandas"
@@ -172,6 +175,9 @@ def token_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     CMS >= exact on these heavy hitters)."""
     from ray.data.aggregate import Sum
 
+    # NOTE on parity: texts in these corpora are ASCII-space separated; the
+    # SQL oracle's regexp \s+ and Python str.split() agree on that domain
+    # (they diverge on Unicode whitespace — documented convention).
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
 
@@ -179,17 +185,21 @@ def token_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
         for t in df["text"]:
             c.update(t.split())
         return pd.DataFrame(
-            {"token": list(c.keys()), "n": np.fromiter(c.values(), dtype=np.int64)}
+            {
+                "token": pd.Series(list(c.keys()), dtype="str"),
+                "n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
         )
 
     partials = _docs(sf_dir, ["text"]).map_batches(
         count_tokens, batch_format="pandas", batch_size=None
     )
     agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    # distributed top-k: sort + limit keeps only k rows leaving the cluster
     top = (
-        agg.to_pandas()
-        .sort_values(["n", "token"], ascending=[False, True])
-        .head(k)
+        agg.sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
         .reset_index(drop=True)
     )
     top["n"] = top["n"].astype("int64")
