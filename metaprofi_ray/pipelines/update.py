@@ -39,6 +39,12 @@ def update_index(
         raise ValueError("update must write to a new directory (immutable index)")
     if os.path.exists(os.path.join(out_dir, bank_io.MANIFEST)):
         raise FileExistsError(f"index already exists at {out_dir}")
+    out_banks = os.path.join(out_dir, bank_io.BANKS)
+    if os.path.exists(out_banks):
+        # banks without a manifest = an interrupted update; never append
+        import shutil
+
+        shutil.rmtree(out_banks)
     old_cfg, old_doc = bank_io.read_manifest(index_dir)
     if cfg is not None:
         old_cfg.validate_compatible(cfg)  # config frozen across updates

@@ -49,8 +49,12 @@ def read_manifest(index_dir: str) -> tuple[SketchConfig, dict]:
 
 
 def write_sources_summary(index_dir: str, cfg: SketchConfig) -> pa.Table:
-    """Derive sources.parquet from the merged banks' stats rows (small)."""
-    banks = pq.read_table(os.path.join(index_dir, BANKS))
+    """Derive sources.parquet from the merged banks' stats rows — column-
+    projected so the (potentially huge) bits column never leaves disk."""
+    banks = pq.read_table(
+        os.path.join(index_dir, BANKS),
+        columns=["source", "shard_id", "n_docs", "n_wins", "n_tokens", "hll"],
+    )
     stats = banks.filter(pa.compute.equal(banks["shard_id"], STATS_SHARD))
     order = pa.compute.sort_indices(stats["source"])
     stats = stats.take(order)

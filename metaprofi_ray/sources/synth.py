@@ -71,6 +71,8 @@ def _doc_tokens(doc_id: str, doc_idx: int, k: int, motifs: np.ndarray,
 
 def source_doc_counts(n_sources: int, docs_total: int) -> list[int]:
     """Zipf-like skew: the hot source holds ~40% of rows (FIXTURES.md §1)."""
+    if n_sources == 1:
+        return [docs_total]
     weights = np.array([0.40] + [0.60 / (n_sources - 1)] * (n_sources - 1))
     # tilt the tail slightly so sources differ
     tail = np.linspace(1.5, 0.5, n_sources - 1)
@@ -150,19 +152,27 @@ def make_queries(
         lo = int(rng.integers(0, len(toks) - span + 1))
         q_ids.append(f"exact-{i:04d}|{docs['doc_id'][int(di)].as_py()}")
         q_toks.append(toks[lo : lo + span])
-    # theta partials: windows laid end-to-end, p% from one motif, rest random
+    # theta partials: a CONTIGUOUS span copied from a corpus doc (all of its
+    # sliding windows exist in that doc) followed by a random tail, sized so
+    # the matching-window fraction lands near p%.  (Disjoint planted windows
+    # cannot exceed ~1/k matching fraction under stride-1 counting — only
+    # contiguous substrings give controllable theta.)
+    theta_docs = corpus.filter(pa.compute.greater_equal(corpus["n_tok"], 64))
     for p in theta_partials:
         for j in range(6):
-            n_win = 20
-            n_pos = round(n_win * p / 100)
-            m = motifs[(j * 7) % N_MOTIFS]
-            wins = [m] * n_pos + [
-                rng.integers(VOCAB, VOCAB * 2, size=k, dtype=np.int32)
-                for _ in range(n_win - n_pos)
-            ]
-            seq = np.concatenate(wins).astype(np.int32)
+            toks = np.asarray(
+                theta_docs["tokens"][(j * 11) % theta_docs.num_rows].as_py(),
+                dtype=np.int32,
+            )
+            span = 40  # matching windows = span - k + 1
+            seq_part = toks[:span]
+            # choose tail length t so (span-k+1)/(span+t-k+1) ~= p/100
+            match_w = span - k + 1
+            total_w = max(match_w, round(match_w * 100 / p))
+            t = total_w - match_w
+            tail = rng.integers(VOCAB * 2, VOCAB * 3, size=t, dtype=np.int32)
             q_ids.append(f"theta{p:03d}-{j:02d}")
-            q_toks.append(seq)
+            q_toks.append(np.concatenate([seq_part, tail]).astype(np.int32))
     # negatives: token ids outside corpus vocab -> brute-force absent
     for i in range(n_negative):
         n = int(rng.integers(k, 3 * k))

@@ -36,9 +36,20 @@ def generate_corpus_fast(
     One hot source holds ``hot_source_frac`` of all docs (skew exercise);
     the rest are uniform.  Doc lengths ~ 32 + Exp(mean_len-32), so k=8
     windows always exist."""
+    stamp = (
+        f"n_docs={n_docs} n_sources={n_sources} vocab={vocab} "
+        f"mean_len={mean_len} seed={seed} files={files_per_source} "
+        f"hot={hot_source_frac}\n"
+    )
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as fh:
+            if fh.read() == stamp:
+                return out_dir
+        # parameters changed for the same dir: regenerate from scratch
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     hot = max(int(n_docs * hot_source_frac), 1)
     rest = (n_docs - hot) // (n_sources - 1) if n_sources > 1 else 0
@@ -75,5 +86,5 @@ def generate_corpus_fast(
                 row_group_size=65536,
             )
     with open(done, "w") as fh:
-        fh.write(f"n_docs={n_docs} n_sources={n_sources} seed={seed}\n")
+        fh.write(stamp)
     return out_dir

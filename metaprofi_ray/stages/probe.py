@@ -73,11 +73,12 @@ def probe_batch(
     n_rows = batch.num_rows
     seg_starts = np.searchsorted(row_of_window, np.arange(n_rows))
     wins_per_row = np.diff(np.append(seg_starts, n_wins_total))
-    # reduceat needs in-bounds indices; rows with 0 windows produce garbage
-    # segments here but are masked out below via wins_per_row == 0
-    counts = np.add.reduceat(
-        win_present, np.minimum(seg_starts, n_wins_total - 1), axis=0
-    )
+    # reduceat only over rows that HAVE windows: their segment starts are
+    # strictly increasing and in-bounds, so no clamping (a clamp would
+    # truncate the last windowed row's segment when trailing rows have
+    # zero windows — regression-tested)
+    rows_with = np.flatnonzero(wins_per_row > 0)
+    counts = np.add.reduceat(win_present, seg_starts[rows_with], axis=0)
     q_ids: list[str] = []
     s_names: list[str] = []
     found: list[int] = []
@@ -85,12 +86,10 @@ def probe_batch(
     fracs: list[float] = []
     qcol = batch.column(query_col).to_pylist()
     src_arr = np.asarray(index.sources)
-    for r in range(n_rows):
+    for ri, r in enumerate(rows_with):
         nw = int(wins_per_row[r])
-        if nw == 0:
-            continue
         min_wins = max(1, math.ceil(nw * theta / 100))
-        row_counts = counts[r]
+        row_counts = counts[ri]
         hit = np.nonzero(row_counts >= min_wins)[0]
         if hit.size == 0:
             continue

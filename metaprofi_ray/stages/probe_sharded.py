@@ -138,9 +138,16 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
     windows probed in shards the source has NO bank row for), count this
     query's windows, apply the theta threshold."""
 
+    # ray.get once per WORKER (closure cache), not once per group — map_groups
+    # invokes this per (query, source) key
+    cache: dict = {}
+
     def reduce_masks(group: pa.Table) -> pa.Table:
-        probe: QueryProbeSet = ray.get(probe_ref)
-        source_shards: dict[str, set[int]] = ray.get(source_shards_ref)
+        if "probe" not in cache:
+            cache["probe"] = ray.get(probe_ref)
+            cache["source_shards"] = ray.get(source_shards_ref)
+        probe: QueryProbeSet = cache["probe"]
+        source_shards: dict[str, set[int]] = cache["source_shards"]
         qid = group["query_id"][0].as_py()
         source = group["source"][0].as_py()
         acc = np.frombuffer(group["mask"][0].as_py(), dtype=np.uint8).copy()

@@ -44,7 +44,12 @@ def _manifest_matches(path: str, files: list[str], cfg: SketchConfig) -> bool:
             doc = json.load(fh)
     except (OSError, json.JSONDecodeError):
         return False
-    return doc.get("files") == files and doc.get("config") == json.loads(cfg.to_json())
+    return (
+        doc.get("files") == files
+        and doc.get("config") == json.loads(cfg.to_json())
+        # content guard: regenerated-in-place inputs must invalidate
+        and doc.get("file_bytes") == [os.path.getsize(f) for f in files]
+    )
 
 
 def build_with_checkpoints(

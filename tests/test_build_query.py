@@ -243,3 +243,53 @@ class TestRealisticM:
 
         banks = _pq.read_table(idx + "/banks", columns=["shard_id"])
         assert banks.num_rows <= 8 * 33  # 8 sources x (32 shards + stats)
+
+
+class TestShortQueryRows:
+    def test_zero_window_rows_do_not_truncate_neighbors(self, index_dir, corpus_dir, oracle):
+        """Regression (review finding): a batch whose TRAILING rows have
+        n_tok < k must not truncate the last windowed query's reduceat
+        segment — previously a fully-matching query lost its final window
+        and dropped below the theta=100 threshold."""
+        t = pq.read_table(corpus_dir)
+        row = next(
+            r for r in range(t.num_rows) if t["n_tok"][r].as_py() >= CFG.k + 6
+        )
+        toks = np.asarray(t["tokens"][row].as_py(), dtype=np.int32)[: CFG.k + 6]
+        src = t["source"][row].as_py()
+        short = np.array([1, 2], dtype=np.int32)  # < k -> zero windows
+        queries = pa.table(
+            {
+                "query_id": ["full", "short-a", "short-b"],
+                "tokens": pa.array([toks, short, short], type=pa.list_(pa.int32())),
+            }
+        )
+        hits = query_pipe.query_table(index_dir, queries, theta=100)
+        got = {
+            (hits["query_id"][r].as_py(), hits["source"][r].as_py(),
+             hits["wins_found"][r].as_py())
+            for r in range(hits.num_rows)
+        }
+        n_wins = len(toks) - CFG.k + 1
+        assert ("full", src, n_wins) in got  # ALL windows counted
+        assert not any(q.startswith("short") for q, _, _ in got)
+
+    def test_interleaved_zero_window_rows(self, index_dir, corpus_dir):
+        t = pq.read_table(corpus_dir)
+        rows = [r for r in range(t.num_rows) if t["n_tok"][r].as_py() >= CFG.k + 4][:2]
+        full = [np.asarray(t["tokens"][r].as_py(), dtype=np.int32)[: CFG.k + 4] for r in rows]
+        short = np.array([9], dtype=np.int32)
+        queries = pa.table(
+            {
+                "query_id": ["a", "gap", "b"],
+                "tokens": pa.array([full[0], short, full[1]], type=pa.list_(pa.int32())),
+            }
+        )
+        hits = query_pipe.query_table(index_dir, queries, theta=100)
+        per_q = {}
+        for r in range(hits.num_rows):
+            per_q.setdefault(hits["query_id"][r].as_py(), set()).add(
+                hits["wins_found"][r].as_py()
+            )
+        nw = CFG.k + 4 - CFG.k + 1
+        assert nw in per_q.get("a", set()) and nw in per_q.get("b", set())
