@@ -32,7 +32,10 @@ def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    sf = float(sf_tag.replace("sf", "") or 0.1)
+    try:
+        sf = float(sf_tag.replace("sf", "") or 0.1)
+    except ValueError:
+        sf = 0.1  # non-sf<N> dirs: default tier for the synthetic corpus
     # sized so the vectorized sketch compute dominates fixed shuffle/startup
     # costs (sf0.1 -> 1.2M docs, ~540 MB)
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", str(int(12_000_000 * sf))))

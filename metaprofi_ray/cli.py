@@ -22,7 +22,10 @@ import sys
 
 def _resolve(path: str) -> list[str] | str:
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise SystemExit(f"error: no .parquet files found in {path}")
+        return files
     g = sorted(glob.glob(path))
     return g if g else path
 

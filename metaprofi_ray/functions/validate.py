@@ -28,6 +28,10 @@ def validate_tokens(batch: pa.Table) -> pa.Table:
             raise TokensSchemaError(f"{col} contains {arr.null_count} nulls")
         if pc.any(pc.equal(pc.utf8_length(arr), 0)).as_py():
             raise TokensSchemaError(f"{col} contains empty strings")
+    if batch["tokens"].null_count:
+        raise TokensSchemaError(
+            f"tokens contains {batch['tokens'].null_count} null lists"
+        )
     n_tok = batch["n_tok"]
     if n_tok.null_count or pc.any(pc.less(n_tok, 0)).as_py():
         raise TokensSchemaError("n_tok contains nulls or negative values")

@@ -48,6 +48,9 @@ def brute_force_topk(
             self.q = ray.get(qref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
             mat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
             sims = (mat @ self.q.T).ravel()
             keep = df["vec_id"].to_numpy() != query_vec_id
@@ -113,6 +116,9 @@ def lsh_topk(
             self.probe = ray.get(probe_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
             mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
             bits = (mat @ self.planes.T > 0).astype(np.uint32)
             sig = (bits << np.arange(bits.shape[1], dtype=np.uint32)).sum(axis=1)

@@ -24,13 +24,17 @@ def kmeans_embeddings(
 ) -> pd.DataFrame:
     """Returns per-cluster (cluster, size, inertia_sum) after ``iters``
     Lloyd iterations; centroids init = k seeded random corpus rows."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     path = os.path.join(sf_dir, "embeddings.parquet")
     boot = pd.read_parquet(path, columns=["vec_id", "embedding"])
     rng = np.random.default_rng(seed)
     init_rows = rng.choice(len(boot), size=min(k, len(boot)), replace=False)
     centroids = np.stack(boot["embedding"].iloc[init_rows].to_numpy()).astype(np.float64)
 
-    ds = rd.read_parquet(path, columns=["embedding"])
+    # materialize once: Lloyd iterations re-scan the SAME blocks from the
+    # object store instead of re-reading parquet every round
+    ds = rd.read_parquet(path, columns=["embedding"]).materialize()
 
     for _ in range(iters):
         cref = ray.put(centroids)
@@ -40,6 +44,13 @@ def kmeans_embeddings(
                 self.c = ray.get(cref)
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if len(df) == 0:
+                    return pd.DataFrame(
+                        {"cluster": pd.Series([], dtype="int64"),
+                         "n": pd.Series([], dtype="int64"),
+                         "vec_sum": pd.Series([], dtype="object"),
+                         "inertia": pd.Series([], dtype="float64")}
+                    )
                 mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
                 d2 = (
                     (mat * mat).sum(1)[:, None]

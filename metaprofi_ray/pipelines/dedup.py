@@ -423,6 +423,10 @@ def embedding_neardup_pairs(
             self.mat, self.ids = ray.get(bref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                     "vec_b": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
             q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
             q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             sims = q @ self.mat.T

@@ -74,22 +74,35 @@ def tokens_dataset(sf_dir: str) -> rd.Dataset:
 
 
 def build_index_for(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> str:
-    """Build (or reuse the cached) index for an sf dir.  The cache key
-    includes a hash of the frozen config + on-disk format version, so a
-    format or parameter change can never resurrect a stale index (PID
-    alone is unsafe — PIDs recycle)."""
-    import hashlib
+    """Build (or reuse the cached) index for an sf dir.
 
+    Cache key = hash of (absolute source path, source file size+mtime,
+    frozen config incl. format version) — a different corpus at the same
+    basename, an in-place regeneration, or a format change can never
+    resurrect a stale index.  The build goes to a private tmp dir and is
+    published with an atomic ``os.rename``, so concurrent builders cannot
+    corrupt each other: exactly one rename wins, losers discard."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key_material = (
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{cfg.to_json()}"
+    )
+    key = hashlib.blake2b(key_material.encode(), digest_size=8).hexdigest()
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    key = hashlib.blake2b(cfg.to_json().encode(), digest_size=6).hexdigest()
     index_dir = os.path.join(
         tempfile.gettempdir(), f"metaprofi_ray_index_{tag}_{key}"
     )
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        tmp = f"{index_dir}.building.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_pipe.build_index(tokens_dataset(sf_dir), cfg, tmp)
         try:
-            build_pipe.build_index(tokens_dataset(sf_dir), cfg, index_dir)
-        except FileExistsError:
-            pass  # concurrent builder finished first; reuse its output
+            os.rename(tmp, index_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
     return index_dir
 
 
@@ -142,8 +155,14 @@ def _stats_rows(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     index_dir = build_index_for(sf_dir)
-    banks = pq.read_table(os.path.join(index_dir, "banks"))
-    stats = banks.filter(pa.compute.equal(banks["shard_id"], STATS_SHARD))
+    # row-group filter + column pruning: the Bloom bits never reach the
+    # driver, only the small per-source stats rows do
+    stats = pq.read_table(
+        os.path.join(index_dir, "banks"),
+        columns=["source", "shard_id", "n_docs", "n_wins", "n_tokens",
+                 "hll", "cms", "tdigest", "kll"],
+        filters=[("shard_id", "=", STATS_SHARD)],
+    )
     return stats.to_pandas().sort_values("source").reset_index(drop=True)
 
 

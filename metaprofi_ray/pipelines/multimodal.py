@@ -42,7 +42,10 @@ def synthesize_media(documents_path: str, n: int = 200) -> pa.Table:
     (payload = utf-8 bytes of the text; kind round-robins)."""
     import pyarrow.parquet as pq
 
-    docs = pq.read_table(documents_path, columns=["doc_id", "text"]).slice(0, n)
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    # deterministic doc_id order (matches the SQL oracle's ORDER BY doc_id
+    # regardless of physical file order)
+    docs = docs.take(pa.compute.sort_indices(docs["doc_id"])).slice(0, n)
     kinds = ["image", "audio", "video"]
     payloads = [t.encode("utf-8") for t in docs["text"].to_pylist()]
     return pa.table(
