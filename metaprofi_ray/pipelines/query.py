@@ -41,6 +41,14 @@ def query_index(
         raise ValueError("theta must be in [1, 100]")
     index = BankIndex.load(index_dir)
     index_ref = ray.put(index)
+    # a single-block query source (from_arrow / one small file) would feed
+    # ONE actor no matter the pool size — spread it across the pool
+    pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    try:
+        if queries.num_blocks() < pool_max:
+            queries = queries.repartition(pool_max * 2)
+    except Exception:
+        pass  # planning-time block count unavailable: leave layout as-is
     return queries.map_batches(
         QueryProber,
         fn_constructor_args=(index_ref, theta),
