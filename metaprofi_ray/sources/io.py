@@ -96,8 +96,26 @@ class BankIndex:
         self.matrices = matrices
         self.summary = summary
 
+    _memo: dict[tuple[str, float], "BankIndex"] = {}
+
     @classmethod
     def load(cls, index_dir: str) -> "BankIndex":
+        """Load (or reuse the process-local cached) index view.  Memo key
+        includes the manifest mtime so an updated/rebuilt index at the same
+        path is reloaded; repeated queries in one process skip the ~1 s
+        parquet decode + matrix build."""
+        mpath = os.path.join(index_dir, MANIFEST)
+        key = (os.path.abspath(index_dir), os.path.getmtime(mpath))
+        hit = cls._memo.get(key)
+        if hit is not None:
+            return hit
+        out = cls._load_uncached(index_dir)
+        cls._memo.clear()  # keep at most one index resident
+        cls._memo[key] = out
+        return out
+
+    @classmethod
+    def _load_uncached(cls, index_dir: str) -> "BankIndex":
         cfg, _ = read_manifest(index_dir)
         spath = os.path.join(index_dir, SOURCES)
         if not os.path.exists(spath):
