@@ -139,8 +139,11 @@ def build_index(
         shutil.rmtree(banks_dir)
     merged = merge_banks(partial_banks(ds, cfg), cfg, salt_buckets=salt_buckets)
     merged.write_parquet(banks_dir)
-    bank_io.write_manifest(index_dir, cfg)
+    # sources before manifest: the manifest is the validity marker loaders
+    # key on, so it lands last (a crash in between leaves a visibly
+    # incomplete index, never a valid-looking one missing its summary)
     bank_io.write_sources_summary(index_dir, cfg)
+    bank_io.write_manifest(index_dir, cfg)
     return index_dir
 
 

@@ -141,7 +141,7 @@ def frame_sample_plan(batch: pa.Table, every: int = 5) -> pa.Table:
 def media_pipeline(documents_path: str, batch_size: int = 64) -> rd.Dataset:
     """decode(stub, actor pool) → resize plan → stats.  Small batch_size:
     binary payloads make rows wide, so batches are sized by payload, not
-    row count (ray_guide.md memory guidance)."""
+    row count so batch x concurrency stays inside worker heaps."""
     media = synthesize_media(documents_path)
     ds = rd.from_arrow(media)
     ds = ds.map_batches(

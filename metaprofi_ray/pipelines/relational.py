@@ -33,7 +33,7 @@ def _pq(sf_dir: str, name: str) -> str:
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-style pricing summary.
 
-    Combiner pattern (ray_guide.md "Aggregation at scale"): each batch
+    Combiner pattern (partial aggregation before the shuffle): each batch
     pre-aggregates to ~6 partial rows inside ``map_batches``, so the
     groupby shuffle moves O(blocks × groups) rows instead of every
     lineitem row.  Means are finalized as sum/count after the merge."""
@@ -106,7 +106,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per event_type: count + rounded value sum.
     Window = truncate-to-hour key inside map_batches, then grouped aggregate
-    (ray_guide.md streaming-shaped pattern)."""
+    (window key derived per batch, so the shuffle input is pre-bucketed)."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -137,7 +137,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (gap > 30 min starts a new session):
     ``groupby(user).map_groups`` over ts-sorted groups — the engine's
     session-window operator (no native watermarks in Ray Data; ordering
-    contract documented per ray_guide.md)."""
+    contract: map_groups receives each full group, sorted here)."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
@@ -218,7 +218,10 @@ def events_prior_orders(sf_dir: str) -> rd.Dataset:
 
     Orders (small side) are broadcast as per-bucket SORTED date arrays;
     each event batch answers with one ``np.searchsorted`` per bucket — the
-    broadcast as-of pattern (ray_guide.md joins); no shuffle."""
+    broadcast as-of join pattern (small side via ray.put); no shuffle.
+    At ~100x this scale the small side stops being small: cut over to a
+    date-bucketed partitioned merge-asof (co-partition both sides on
+    custkey bucket, per-bucket sorted merge) instead of one broadcast."""
     orders = pd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
     orders["bucket"] = orders["o_custkey"] % 150
     by_bucket = {
@@ -262,8 +265,8 @@ def events_prior_orders(sf_dir: str) -> rd.Dataset:
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Broadcast ANTI join: customers with no URGENT-priority order (the
-    filtered key set of the big side is broadcast — ray_guide.md
-    semi/anti-join pattern; filter pushed down at the read)."""
+    filtered key set of the big side is broadcast — the standard
+    semi/anti-join-by-broadcast shape; filter pushed down at the read)."""
     import pyarrow.compute as pc
 
     okeys = (

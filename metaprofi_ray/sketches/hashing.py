@@ -102,7 +102,11 @@ def hash_values_u64(values: np.ndarray, seed: np.uint64) -> np.ndarray:
 def double_hash_bits(h1: np.ndarray, h2: np.ndarray, h: int, m: int) -> np.ndarray:
     """Kirsch–Mitzenmacher: bit positions ``(h1 + i*h2) % m`` for i in [0, h).
 
-    h2 is forced odd so successive probes cycle through all residues.
+    h2 is forced odd, which guarantees a full cycle only when m is a power
+    of two; m here is padded to a multiple of 8*shards, so gcd(h2, m) > 1
+    is possible and a window's probes can land in a residue subgroup.  For
+    the configured h (= 2) the FPR impact is negligible (measured by the
+    bloom_fpr_report pipeline), so no power-of-two padding is imposed.
     Returns int64 array of shape (len(h1), h) of global Bloom bit indices.
     """
     h2 = h2 | U64(1)

@@ -64,6 +64,12 @@ def generate_corpus_fast(
             rng = np.random.default_rng(seed + s * 1000 + f)
             lens = (32 + rng.exponential(max(mean_len - 32, 1), size=n)).astype(np.int64)
             total = int(lens.sum())
+            if total >= 2**31:  # int32 list offsets would silently wrap
+                raise ValueError(
+                    f"file {src}-{f:03d} holds {total} tokens (>= 2^31); "
+                    "raise files_per_source so each file stays under int32 "
+                    "list-offset range"
+                )
             flat = rng.integers(0, vocab, size=total, dtype=np.int32)
             offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
             tokens = pa.ListArray.from_arrays(

@@ -11,7 +11,13 @@ Semantics parity (SURVEY.md §2.4 A3–A5):
   * per window: AND of its h probed bits per source (A3/A4);
   * theta: per-source count of matching windows over ALL windows including
     duplicates, hit iff ``count >= ceil(n_wins * theta / 100)``
-    (threshold formula search_index.py:532; exact search == theta=100);
+    (exact search == theta=100).  DELIBERATE DIVERGENCE: the reference
+    evaluates ``ceil((n_wins/100) * theta)`` (search_index.py:532), whose
+    intermediate float rounding shifts the threshold on ~1.6% of
+    (n_wins, theta) pairs (e.g. n_wins=110, theta=10 → reference demands 12
+    windows, this engine 11; n_wins=7, theta=100 → reference demands an
+    impossible 8).  The integer-exact form here is kept on purpose; parity
+    tests must not chase the reference's float artifact;
   * queries with zero windows or zero hits produce no rows (F5,
     search_index.py:595-611).
 """

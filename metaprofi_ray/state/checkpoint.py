@@ -10,6 +10,15 @@ whose manifest matches; the final merge unions the partition banks (valid
 partials, since OR/max/sum merges are idempotent and associative) into the
 index.  Partition outputs are written to a temp dir and renamed, so a kill
 mid-partition never leaves a partial checkpoint behind.
+
+The final publish is crash-safe too: the merged banks are written to a
+sibling temp dir, the old ``manifest.json`` (the index's validity marker)
+is removed FIRST, the banks dir is swapped in with an atomic
+``os.replace``, and ``sources.parquet`` is rewritten before the new
+manifest — so at every instant the index is either valid-and-complete or
+visibly absent (``BankIndex.load`` raises instead of serving stale banks),
+and a crash at any point resumes cleanly from the per-partition
+checkpoints.
 """
 
 from __future__ import annotations
@@ -47,8 +56,10 @@ def _manifest_matches(path: str, files: list[str], cfg: SketchConfig) -> bool:
     return (
         doc.get("files") == files
         and doc.get("config") == json.loads(cfg.to_json())
-        # content guard: regenerated-in-place inputs must invalidate
+        # content guard: regenerated-in-place inputs must invalidate; size
+        # alone misses same-size rewrites, so mtime_ns is checked too
         and doc.get("file_bytes") == [os.path.getsize(f) for f in files]
+        and doc.get("file_mtime_ns") == [os.stat(f).st_mtime_ns for f in files]
     )
 
 
@@ -94,6 +105,7 @@ def build_with_checkpoints(
                     "partition": pid,
                     "files": files,
                     "file_bytes": [os.path.getsize(f) for f in files],
+                    "file_mtime_ns": [os.stat(f).st_mtime_ns for f in files],
                     "config": json.loads(cfg.to_json()),
                     "n_docs": int(pc.sum(stats["n_docs"]).as_py() or 0),
                     "n_wins": int(pc.sum(stats["n_wins"]).as_py() or 0),
@@ -107,18 +119,29 @@ def build_with_checkpoints(
         report["partitions"].append({"id": pid, "status": "built", "wall_sec": wall})
     # final merge across partitions (partition banks are valid partials)
     banks_dir = os.path.join(index_dir, bank_io.BANKS)
-    shutil.rmtree(banks_dir, ignore_errors=True)
+    banks_tmp = banks_dir + ".tmp"
+    shutil.rmtree(banks_tmp, ignore_errors=True)
     part_files: list[str] = []
     for pid in range(len(parts)):
         part_files.extend(
             sorted(glob.glob(os.path.join(ckpt_root, f"partition={pid:05d}", "banks", "*.parquet")))
         )
     part_banks = rd.read_parquet(part_files)
-    merge_banks(part_banks, cfg).write_parquet(banks_dir)
+    merge_banks(part_banks, cfg).write_parquet(banks_tmp)
+    # atomic-ish publish: invalidate FIRST (the manifest is the validity
+    # marker BankIndex.load keys on), swap banks in one rename, then write
+    # sources before the manifest — no window serves a stale or partial index
+    for stale in (bank_io.MANIFEST, bank_io.SOURCES):
+        try:
+            os.remove(os.path.join(index_dir, stale))
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(banks_dir, ignore_errors=True)
+    os.replace(banks_tmp, banks_dir)
+    bank_io.write_sources_summary(index_dir, cfg)
     bank_io.write_manifest(
         index_dir, cfg,
         extra={"checkpointed": True, "n_partitions": len(parts),
                "resumed_partitions": report["resumed"]},
     )
-    bank_io.write_sources_summary(index_dir, cfg)
     return report
