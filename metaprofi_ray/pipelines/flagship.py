@@ -33,33 +33,38 @@ DEFAULT_CFG = SketchConfig(k=8, h=2, m=1 << 18, shards=4, hll_p=12)
 
 
 class Tokenizer:
-    """documents rows → tokens rows; the per-word hash memo is actor state
-    (built up across batches) so repeated words hash once per actor."""
+    """documents rows → tokens rows, fully vectorized: one Arrow
+    whitespace-split over the batch, one dictionary-encode to unique words,
+    hashing only the batch's unique words.  The per-word hash memo is actor
+    state (built up across batches) so a word hashes once per actor."""
 
     def __init__(self, vocab: int = VOCAB):
         self.vocab = vocab
         self.memo: dict[str, int] = {}
 
+    def _hash_word(self, w: str) -> int:
+        return stable_hash(w) % self.vocab
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
-        toks: list[np.ndarray] = []
-        for t in texts:
-            words = t.split()
-            ids = np.empty(len(words), dtype=np.int32)
-            memo = self.memo
-            for i, w in enumerate(words):
-                v = memo.get(w)
-                if v is None:
-                    v = stable_hash(w) % self.vocab
-                    memo[w] = v
-                ids[i] = v
-            toks.append(ids)
+        from ..functions import wordids
+
+        flat, row_of, n = wordids.split_words(batch.column("text"))
+        ids, _, lens = wordids.intern_ids(
+            flat, row_of, n, self._hash_word, memo=self.memo, dtype=np.int32
+        )
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(ids, pa.int32())
+        )
+        doc_nums = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        labels = np.char.add(
+            "doc", np.char.zfill(doc_nums.astype(np.int64).astype("U"), 8)
+        )
         return pa.table(
             {
-                "doc_id": pa.array([f"doc{int(d):08d}" for d in doc_ids]),
-                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
-                "n_tok": pa.array([len(t) for t in toks], type=pa.int32()),
+                "doc_id": pa.array(labels),
+                "tokens": tokens,
+                "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
                 "source": batch.column("source"),
             }
         )
