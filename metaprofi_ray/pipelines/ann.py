@@ -29,6 +29,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _query_vec(path: str, vec_id: int) -> np.ndarray:
+    """Fetch ONE query row with a pushed-down row filter — row-group pruning
+    via parquet statistics, never a full-table driver read (at 100 TB the
+    store is vec_id-sorted so this touches a single row group)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "=", vec_id)]
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {vec_id} not found")
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[:1]
+
+
+def _corpus_rows(path: str) -> int:
+    """Row count from parquet footer metadata only (no data pages read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def brute_force_topk(
     sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> pd.DataFrame:
@@ -36,11 +57,7 @@ def brute_force_topk(
     itself).  Per-batch partial top-k, final merge on the driver (the
     partial-aggregation pattern: only k rows per block leave the task)."""
     path = _emb_path(sf_dir)
-    qdf = pd.read_parquet(path, columns=["vec_id", "embedding"])
-    qrow = qdf[qdf.vec_id == query_vec_id]
-    if qrow.empty:
-        raise KeyError(f"vec_id {query_vec_id} not found")
-    q = _normalize(np.stack(qrow["embedding"].to_numpy()).astype(np.float64))
+    q = _normalize(_query_vec(path, query_vec_id))
     qref = ray.put(q)
 
     class Score:
@@ -85,20 +102,18 @@ def lsh_topk(
     the partition key of the embedding store so a probe touches only its
     bucket partitions."""
     path = _emb_path(sf_dir)
-    full = pd.read_parquet(path, columns=["vec_id", "embedding"])
-    dim = len(full["embedding"].iloc[0])
+    q = _normalize(_query_vec(path, query_vec_id))
+    dim = q.shape[1]
     if n_planes is None:
         # size buckets to ~32 vectors each so probing stays meaningful at
-        # any corpus size (at 100 TB this is the partition-count knob)
-        n_planes = max(3, min(16, int(np.log2(max(len(full), 64) / 32))))
+        # any corpus size (at 100 TB this is the partition-count knob);
+        # corpus size comes from footer metadata, not a table read
+        n_rows = _corpus_rows(path)
+        n_planes = max(3, min(16, int(np.log2(max(n_rows, 64) / 32))))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     planes_ref = ray.put(planes)
 
-    qrow = full[full.vec_id == query_vec_id]
-    if qrow.empty:
-        raise KeyError(f"vec_id {query_vec_id} not found")
-    q = _normalize(np.stack(qrow["embedding"].to_numpy()).astype(np.float64))
     qsig_bits = (q @ planes.T > 0).astype(np.uint32).ravel()
     qref = ray.put(q)
 

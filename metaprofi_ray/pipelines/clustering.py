@@ -27,13 +27,33 @@ def kmeans_embeddings(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     path = os.path.join(sf_dir, "embeddings.parquet")
-    boot = pd.read_parquet(path, columns=["vec_id", "embedding"])
+    # init from the leading row group(s) only — a deterministic seeded
+    # choice within a bounded prefix, never a full-table driver read
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    prefix = []
+    got = 0
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(rg, columns=["embedding"])
+        prefix.append(t)
+        got += t.num_rows
+        if got >= max(k, 256):
+            break
+    import pyarrow as pa
+
+    boot = pa.concat_tables(prefix)
     rng = np.random.default_rng(seed)
-    init_rows = rng.choice(len(boot), size=min(k, len(boot)), replace=False)
-    centroids = np.stack(boot["embedding"].iloc[init_rows].to_numpy()).astype(np.float64)
+    init_rows = rng.choice(
+        boot.num_rows, size=min(k, boot.num_rows), replace=False
+    )
+    emb = np.asarray(boot["embedding"].to_pylist(), dtype=np.float64)
+    centroids = emb[np.sort(init_rows)]
 
     # materialize once: Lloyd iterations re-scan the SAME blocks from the
-    # object store instead of re-reading parquet every round
+    # object store instead of re-reading parquet every round (at 100 TB the
+    # object store spills cold blocks to disk; the re-scan is still cheaper
+    # than re-decoding parquet per iteration)
     ds = rd.read_parquet(path, columns=["embedding"]).materialize()
 
     for _ in range(iters):

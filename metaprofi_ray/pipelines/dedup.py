@@ -90,43 +90,43 @@ class MinHashSigner:
         self.shingle_n = shingle_n
         self.memo: dict[str, int] = {}
 
-    def _word_ids(self, text: str) -> np.ndarray:
-        words = text.lower().split()
-        ids = np.empty(len(words), dtype=np.int32)
-        memo = self.memo
-        for i, w in enumerate(words):
-            v = memo.get(w)
-            if v is None:
-                v = int.from_bytes(
-                    hashlib.blake2b(w.encode("utf-8"), digest_size=4).digest(),
-                    "little",
-                    signed=True,
-                )
-                memo[w] = v
-            ids[i] = v
-        return ids
+    @staticmethod
+    def _hash_word(w: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=4).digest(),
+            "little",
+            signed=True,
+        )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import wordids
+
         if len(df) == 0:
             return pd.DataFrame({"doc_id": df["doc_id"].values, "sig": []})
-        id_arrays = [self._word_ids(t) for t in df["text"]]
-        # docs shorter than the shingle width fall back to one whole-doc
-        # shingle (mirrors _word_shingles' fallback)
-        n = self.shingle_n
-        padded = [
-            a if a.size >= n else np.pad(a, (0, n - a.size)) for a in id_arrays
-        ]
-        lens = np.array([a.size for a in padded], dtype=np.int64)
-        offsets = np.concatenate([[0], np.cumsum(lens)])
-        flat = (
-            np.concatenate(padded) if padded else np.empty(0, dtype=np.int32)
+        # vectorized word interning: one Arrow split + dictionary-encode per
+        # batch; _hash_word runs only on unique words missing from the memo
+        flat_words, row_raw, n_docs = wordids.split_words(
+            pa.array(df["text"], type=pa.string()), lower=True
         )
+        ids, rows, lens = wordids.intern_ids(
+            flat_words, row_raw, n_docs, self._hash_word,
+            memo=self.memo, dtype=np.int32,
+        )
+        # docs shorter than the shingle width fall back to one zero-padded
+        # whole-doc shingle (mirrors _word_shingles' fallback): scatter each
+        # doc's ids into a flat buffer sized by max(len, shingle_n)
+        n = self.shingle_n
+        offsets_in = np.concatenate([[0], np.cumsum(lens)])
+        new_lens = np.maximum(lens, n)
+        offsets = np.concatenate([[0], np.cumsum(new_lens)])
+        flat = np.zeros(int(offsets[-1]), dtype=np.int32)
+        flat[offsets[rows] + (np.arange(ids.size) - offsets_in[rows])] = ids
         starts, row_of = hashing.window_starts(offsets, n)
         h = hashing.hash_windows(flat, starts, n, hashing.SEED_H1)
         # (n_perm, total_shingles) affine transform, then per-doc min
         vals = self.a[:, None] * h[None, :]
         vals += self.b[:, None]
-        seg = np.searchsorted(row_of, np.arange(len(padded)))
+        seg = np.searchsorted(row_of, np.arange(n_docs))
         sigs = np.minimum.reduceat(vals, seg, axis=1).T  # (n_docs, n_perm)
         return pd.DataFrame(
             {"doc_id": df["doc_id"].values, "sig": list(sigs)}
@@ -325,12 +325,59 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------ n-gram Jaccard
+def candidate_shingle_sets(
+    sf_dir: str, cand_ids: set[int], shingle_n: int
+) -> dict[int, np.ndarray]:
+    """Sorted 64-bit shingle-hash arrays for the candidate docs ONLY.
+
+    The candidate id set (small — bounded by the LSH pair list) is broadcast
+    via ``ray.put``; the documents table streams through ``map_batches`` and
+    each batch emits rows only for candidates it holds.  The result that
+    reaches the driver is O(candidates), never the corpus."""
+    import ray
+
+    cref = ray.put(frozenset(int(c) for c in cand_ids))
+
+    class Extract:
+        def __init__(self):
+            self.cands = ray.get(cref)
+            self.n = shingle_n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = df["doc_id"].astype("int64").isin(self.cands)
+            sub = df.loc[hit]
+            return pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"].astype("int64").values,
+                    "hashes": [
+                        _shingle_hashes(t, self.n) for t in sub["text"]
+                    ],
+                }
+            )
+
+    rows = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(Extract, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+    )
+    return {
+        int(d): np.asarray(h, dtype=np.uint64)
+        for d, h in zip(rows["doc_id"], rows["hashes"])
+    }
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, shingle_n: int = 3, threshold: float = 0.8
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard over candidate pairs from MinHash-LSH — the
     verification stage of the dedup ladder (LSH recalls, Jaccard decides).
-    Small output → returned as pandas."""
+
+    Verification is distributed: only the candidate docs' shingle-hash sets
+    (sorted uint64 arrays, extracted inside ``map_batches`` against the
+    broadcast candidate id set) ever reach the driver; the documents table
+    itself streams and is never materialized.  Jaccard over 64-bit shingle
+    hashes equals Jaccard over the string shingles up to a ~2^-64 collision
+    probability."""
     cands = minhash_lsh_pairs(
         sf_dir, jaccard_threshold=max(0.3, threshold - 0.2)
     )
@@ -340,13 +387,13 @@ def ngram_jaccard_pairs(
              "doc_b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
-    docs = pd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).set_index("doc_id")["text"]
+    cand_ids = set(cands["doc_a"]) | set(cands["doc_b"])
+    sets = candidate_shingle_sets(sf_dir, cand_ids, shingle_n)
     out = {"doc_a": [], "doc_b": [], "jaccard": []}
     for a, b in zip(cands["doc_a"], cands["doc_b"]):
-        sa, sb = _word_shingles(docs[a], shingle_n), _word_shingles(docs[b], shingle_n)
-        j = len(sa & sb) / len(sa | sb)
+        sa, sb = sets[int(a)], sets[int(b)]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        j = inter / (sa.size + sb.size - inter)
         if j >= threshold:
             out["doc_a"].append(int(a))
             out["doc_b"].append(int(b))
