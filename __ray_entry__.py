@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textstats.doc_fingerprints,
         # --- training-data ops: dedup -----------------------------------
         "exact_dedup": dedup.exact_dedup,
+        "exact_dup_canonical": dedup.exact_dup_canonical,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -210,6 +211,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "exact_dup_canonical": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM documents ORDER BY doc_id
         """,
         "ann_brute_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -404,15 +404,47 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------- dedup application (CC)
+def _apply_roots(sf_dir: str, comp: pd.DataFrame) -> pd.DataFrame:
+    """Broadcast the (small — bounded by the pair graph) node→root map and
+    label every document in a streaming ``map_batches`` pass.  Returns
+    ``(doc_id, canonical, keep)`` for ALL docs, sorted by doc_id."""
+    import ray
+
+    rref = ray.put(dict(zip(comp["node"], comp["root"])))
+
+    class Label:
+        def __init__(self):
+            self.root = ray.get(rref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].astype("int64")
+            canonical = ids.map(self.root).fillna(ids).astype("int64")
+            return pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "canonical": canonical.values,
+                    "keep": (canonical.values == ids.values),
+                }
+            )
+
+    out = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(Label, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def dedup_keep_canonical(
     sf_dir: str, method: str = "minhash", **kwargs
 ) -> pd.DataFrame:
-    """Apply near-dup pairs as an actual dedup: connected components over
-    the pair graph (union-find on the driver — justified because the pair
-    list is small by construction; at larger pair volumes this becomes a
-    few rounds of min-label propagation via groupby), keeping the smallest
-    doc_id of each component.  Returns (doc_id, keep, canonical)."""
-    import os
+    """Apply near-dup pairs as an actual dedup: DISTRIBUTED connected
+    components over the pair graph (min-label propagation via
+    ``join`` + ``groupby().min``, see ``pipelines.cc``), keeping the
+    smallest doc_id of each component.  Output equals the previous
+    driver-side union-find (property-tested).  Returns
+    ``(doc_id, canonical, keep)`` for all docs."""
+    from . import cc
 
     if method == "minhash":
         pairs = minhash_lsh_pairs(sf_dir, **kwargs)[["doc_a", "doc_b"]]
@@ -420,31 +452,51 @@ def dedup_keep_canonical(
         pairs = simhash_pairs(sf_dir, **kwargs)[["doc_a", "doc_b"]]
     else:
         raise ValueError(f"unknown method {method!r}")
-    all_docs = pd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )["doc_id"].tolist()
-    parent: dict[int, int] = {}
+    comp = cc.components_pandas(pairs)
+    return _apply_roots(sf_dir, comp)
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    canonical = {d: find(int(d)) for d in all_docs}
-    return pd.DataFrame(
-        {
-            "doc_id": all_docs,
-            "canonical": [canonical[d] for d in all_docs],
-            "keep": [canonical[d] == d for d in all_docs],
-        }
-    ).sort_values("doc_id").reset_index(drop=True)
+def exact_dup_canonical(sf_dir: str) -> pd.DataFrame:
+    """Exact-dup application through the SAME distributed CC machinery,
+    but with SQL-checkable semantics: duplicate groups are md5 partitions,
+    so ``canonical = MIN(doc_id) OVER (PARTITION BY md5(text))`` — the
+    driver's DuckDB oracle verifies the whole join→CC→apply chain."""
+    from . import cc
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").values,
+                "text_md5": md5s,
+                # coarse bucket over the hash: the star-edge groupby shuffles
+                # into n buckets, not one group per md5 (dispatch economy)
+                "kb": np.array(
+                    [int(m[:8], 16) % 64 for m in md5s], dtype=np.int64
+                ),
+            }
+        )
+
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        """Within a bucket: one edge (doc, min-doc-of-its-md5-group) per
+        duplicate doc — vectorized transform, no per-group dispatch."""
+        keeper = g.groupby("text_md5")["doc_id"].transform("min")
+        sel = g["doc_id"].to_numpy() != keeper.to_numpy()
+        return pd.DataFrame(
+            {
+                "a": g["doc_id"].to_numpy()[sel],
+                "b": keeper.to_numpy()[sel],
+            }
+        )
+
+    edges = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(star_edges, batch_format="pandas")
+    )
+    comp = cc.to_pandas_cc(cc.connected_components(edges))
+    return _apply_roots(sf_dir, comp)
 
 
 # ------------------------------------------------- embedding near-dup
