@@ -387,6 +387,8 @@ def ngram_jaccard_pairs(
              "doc_b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
+    from ..functions.numeric import round_half_away
+
     cand_ids = set(cands["doc_a"]) | set(cands["doc_b"])
     sets = candidate_shingle_sets(sf_dir, cand_ids, shingle_n)
     out = {"doc_a": [], "doc_b": [], "jaccard": []}
@@ -397,10 +399,10 @@ def ngram_jaccard_pairs(
         if j >= threshold:
             out["doc_a"].append(int(a))
             out["doc_b"].append(int(b))
-            out["jaccard"].append(round(j, 4))
+            out["jaccard"].append(float(round_half_away(j, 4)))
     return pd.DataFrame(out).astype(
         {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-    )
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------- dedup application (CC)

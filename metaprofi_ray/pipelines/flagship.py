@@ -205,6 +205,207 @@ def cms_token_estimates(sf_dir: str, tokens: tuple[str, ...] = ("the", "and", "d
     return pd.DataFrame(rows)
 
 
+def exact_distinct_windows(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> pd.DataFrame:
+    """EXACT distinct-window-hash count per source, computed distributed:
+    per-batch unique (source, h1) pairs → groupby(source, h) dedupe →
+    groupby(source) count.  Shuffle volume is O(distinct windows), the
+    two-level groupby pattern that stays flat at corpus scale."""
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import batch_windows
+    from ..sketches import hashing
+
+    def win_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_tok"], cfg.k))
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "h": pa.array([], pa.int64())}
+            )
+        values, starts, row_of = batch_windows(t, cfg.k)
+        h1 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H1)
+        src_dict = pc.dictionary_encode(t.column("source")).combine_chunks()
+        codes = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        win_src = codes[row_of]
+        # batch-local dedupe (the combiner): one row per distinct (src, h)
+        key = np.stack([win_src, h1.view(np.int64)], axis=1)
+        uniq = np.unique(key, axis=0)
+        names = np.asarray(src_dict.dictionary.to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "source": pa.array(names[uniq[:, 0]], pa.string()),
+                "h": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = tokens_dataset(sf_dir).map_batches(win_pairs, batch_format="pyarrow")
+    distinct = pairs.groupby(["source", "h"]).count()
+    counts = (
+        distinct.map_batches(
+            lambda t: pa.table({"source": t["source"]}), batch_format="pyarrow"
+        )
+        .groupby("source")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact_distinct"})
+    )
+    return counts.sort_values("source").reset_index(drop=True)
+
+
+def hll_error_check(sf_dir: str) -> pd.DataFrame:
+    """Bounds-checked oracle face of the HLL (north_rule "estimates within
+    the published error bound"): per source, is the HLL estimate within
+    3·1.04/√(2^p) relative error of the EXACT distinct-window count
+    (computed distributed by ``exact_distinct_windows``)?  The SQL oracle
+    pins the source list and asserts TRUE — a failure here means the sketch
+    broke its bound, not a flaky tolerance."""
+    cfg = DEFAULT_CFG
+    stats = _stats_rows(sf_dir)
+    exact = exact_distinct_windows(sf_dir, cfg).set_index("source")[
+        "exact_distinct"
+    ]
+    rel_tol = 3 * 1.04 / np.sqrt(2.0**cfg.hll_p)
+    rows = {"source": [], "within_bound": []}
+    for _, r in stats.iterrows():
+        est = hll_mod.estimate(hll_mod.from_bytes(r["hll"]))
+        ex = float(exact.get(r["source"], 0))
+        rows["source"].append(r["source"])
+        rows["within_bound"].append(bool(abs(est - ex) <= rel_tol * max(ex, 1)))
+    return (
+        pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    )
+
+
+def cms_error_check(
+    sf_dir: str, tokens: tuple[str, ...] = ("the", "and", "data")
+) -> pd.DataFrame:
+    """Bounds-checked oracle face of the CMS: for chosen words per source,
+    (a) ``exact_n`` — the exact word-occurrence count, computed distributed
+    AND by the SQL oracle (full value check), (b) ``ge_exact`` — the CMS
+    never under-counts (deterministic guarantee), (c) ``within_eps`` — the
+    estimate is ≤ exact-token-id-count + ε·N with ε = e/cms_w (the
+    published CMS bound, checked against the id-level count the sketch
+    actually saw — hash collisions word→id make it ≥ ``exact_n``)."""
+    import pyarrow.compute as pc
+
+    from ..functions.wordids import split_words
+
+    cfg = DEFAULT_CFG
+    stats = _stats_rows(sf_dir)
+    tok_ids = {w: stable_hash(w) % VOCAB for w in tokens}
+    probe = np.array([tok_ids[w] for w in tokens], dtype=np.int32)
+
+    # distributed exact counts: word occurrences AND token-id occurrences
+    tok_arr = pa.array(list(tokens))
+    id_arr = np.array(sorted(set(tok_ids.values())), dtype=np.int64)
+
+    def count_words(t: pa.Table) -> pa.Table:
+        flat, row_of, n = split_words(t.column("text"))
+        src_dict = pc.dictionary_encode(t.column("source")).combine_chunks()
+        codes = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = src_dict.dictionary.to_pylist()
+        hit = pc.is_in(flat, value_set=tok_arr).to_numpy(zero_copy_only=False)
+        # mirror the build's n_tok >= k doc filter (the CMS never saw
+        # shorter docs; the SQL oracle applies the same predicate)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_words = np.bincount(row_of[nonempty], minlength=n)
+        hit &= n_words[row_of] >= cfg.k
+        words = np.asarray(flat.to_pandas(), dtype=object)
+        out = {"source": [], "token": [], "n": []}
+        for s_code, s_name in enumerate(names):
+            sel = hit & (codes[row_of] == s_code)
+            w_sel, cnts = np.unique(words[sel], return_counts=True)
+            for w, c in zip(w_sel, cnts):
+                out["source"].append(s_name)
+                out["token"].append(str(w))
+                out["n"].append(int(c))
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "token": pa.array(out["token"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"]
+    )
+    from ray.data.aggregate import Sum
+
+    word_counts = (
+        docs.map_batches(count_words, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    wc = {
+        (r["source"], r["token"]): int(r["n"]) for _, r in word_counts.iterrows()
+    }
+
+    # token-ID occurrence counts per source (what the CMS actually ingested)
+    def count_ids(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_tok"], cfg.k))  # build parity
+        out = {"source": [], "tok_id": [], "n": []}
+        src_dict = pc.dictionary_encode(t.column("source")).combine_chunks()
+        codes = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = src_dict.dictionary.to_pylist()
+        toks = t.column("tokens")
+        flat = toks.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        tok_src = np.repeat(codes, lens)
+        for s_code, s_name in enumerate(names):
+            sub = flat[tok_src == s_code]
+            for tid in id_arr:
+                out["source"].append(s_name)
+                out["tok_id"].append(int(tid))
+                out["n"].append(int((sub == tid).sum()))
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "tok_id": pa.array(out["tok_id"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    id_counts = (
+        tokens_dataset(sf_dir)
+        .map_batches(count_ids, batch_format="pyarrow")
+        .groupby(["source", "tok_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    ic = {
+        (r["source"], int(r["tok_id"])): int(r["n"])
+        for _, r in id_counts.iterrows()
+    }
+
+    eps = np.e / cfg.cms_w
+    rows = {
+        "source": [], "token": [], "exact_n": [],
+        "ge_exact": [], "within_eps": [],
+    }
+    for _, r in stats.iterrows():
+        table = cms_mod.from_bytes(r["cms"], cfg.cms_d, cfg.cms_w)
+        est = cms_mod.query(table, probe)
+        n_tokens = int(r["n_tokens"])
+        for w, e in zip(tokens, est):
+            exact_w = wc.get((r["source"], w), 0)
+            exact_id = ic.get((r["source"], tok_ids[w]), 0)
+            rows["source"].append(r["source"])
+            rows["token"].append(w)
+            rows["exact_n"].append(exact_w)
+            rows["ge_exact"].append(bool(int(e) >= exact_w))
+            rows["within_eps"].append(
+                bool(int(e) <= exact_id + eps * n_tokens)
+            )
+    return (
+        pd.DataFrame(rows)
+        .astype({"exact_n": "int64"})
+        .sort_values(["source", "token"])
+        .reset_index(drop=True)
+    )
+
+
 def bloom_fpr_report(sf_dir: str, n_probes: int = 3000) -> pd.DataFrame:
     """FPR accounting (SURVEY.md §7.3 / north_star): per source, the
     HLL-estimated distinct-shingle count, the analytic bound
@@ -239,6 +440,103 @@ def bloom_fpr_report(sf_dir: str, n_probes: int = 3000) -> pd.DataFrame:
             round(float(fp_per_source.get(r["source"], 0)) / n_probes, 6)
         )
     return pd.DataFrame(rows)
+
+
+def fpr_bound_check(sf_dir: str, n_probes: int = 3000) -> pd.DataFrame:
+    """Driver-checked face of the north-star FPR criterion ("query FPR held
+    within the configured Bloom bound"): per source, measured FPR on
+    provably-negative probes (token ids outside the tokenizer vocab) must
+    not exceed the analytic bound plus 3 binomial standard errors (the
+    sampling noise of n_probes trials).  The SQL oracle pins the source
+    list and asserts TRUE."""
+    rep = bloom_fpr_report(sf_dir, n_probes)
+    bound = rep["fpr_bound"].to_numpy(dtype=np.float64)
+    measured = rep["measured_fpr"].to_numpy(dtype=np.float64)
+    margin = 3 * np.sqrt(bound * (1 - bound) / n_probes) + 2.0 / n_probes
+    return pd.DataFrame(
+        {
+            "source": rep["source"],
+            "fpr_ok": (measured <= bound + margin),
+        }
+    ).sort_values("source").reset_index(drop=True)
+
+
+def quantile_error_check(
+    sf_dir: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9)
+) -> pd.DataFrame:
+    """Bounds-checked oracle face of the quantile sketches: per (source, q),
+    (a) ``exact_q`` — the exact q-quantile of the per-source doc-length
+    distribution (value at rank ceil(q·n)), computed distributed from a
+    (source, n_tok) histogram groupby AND by the SQL oracle (full value
+    check); (b) rank-error booleans for KLL (published ~1.65% normalized
+    rank error at k=200; checked at 2%) and t-digest (checked at a
+    conservative 5%).  A FALSE here means a sketch broke its bound."""
+    import pyarrow.compute as pc
+
+    from ..sketches.kll import KLL
+    from ..sketches.tdigest import TDigest
+
+    cfg = DEFAULT_CFG
+    stats = _stats_rows(sf_dir)
+    # distributed exact histogram: (source, n_tok) value counts — the
+    # scale-safe exact-quantile path (doc lengths have bounded cardinality)
+    hist = (
+        tokens_dataset(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_tok"], cfg.k)).select(
+                ["source", "n_tok"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "n_tok"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "cnt"})
+    )
+    rows = {
+        "source": [], "q": [], "exact_q": [],
+        "kll_rank_ok": [], "tdigest_rank_ok": [],
+    }
+    KLL_EPS, TD_EPS = 0.02, 0.05
+    for _, r in stats.iterrows():
+        h = hist[hist["source"] == r["source"]].sort_values("n_tok")
+        vals = h["n_tok"].to_numpy(dtype=np.int64)
+        cnts = h["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1]) if len(cum) else 0
+        td = TDigest.from_bytes(r["tdigest"])
+        kl = KLL.from_bytes(r["kll"])
+        for q in qs:
+            rank = max(1, int(np.ceil(q * n)))
+            exact = int(vals[np.searchsorted(cum, rank)]) if n else 0
+            rows["source"].append(r["source"])
+            rows["q"].append(q)
+            rows["exact_q"].append(exact)
+            for name, est, eps in (
+                ("kll_rank_ok", kl.quantile(q), KLL_EPS),
+                ("tdigest_rank_ok", td.quantile(q), TD_EPS),
+            ):
+                # tie-aware rank check: a returned value v occupies the whole
+                # rank interval [#(x < v), #(x <= v)]; the sketch satisfies
+                # its bound iff that interval intersects [qn - εn, qn + εn]
+                if n == 0:
+                    rows[name].append(True)
+                    continue
+                lo_idx = np.searchsorted(vals, est, side="left")
+                hi_idx = np.searchsorted(vals, est, side="right")
+                rank_lo = int(cum[lo_idx - 1]) if lo_idx > 0 else 0
+                rank_hi = int(cum[hi_idx - 1]) if hi_idx > 0 else 0
+                ok = not (
+                    rank_hi < q * n - eps * n - 1
+                    or rank_lo > q * n + eps * n + 1
+                )
+                rows[name].append(bool(ok))
+    return (
+        pd.DataFrame(rows)
+        .astype({"exact_q": "int64"})
+        .sort_values(["source", "q"])
+        .reset_index(drop=True)
+    )
 
 
 def doclen_quantiles(sf_dir: str) -> pd.DataFrame:

@@ -103,7 +103,10 @@ def query_index_streaming(
         concurrency=concurrency,
         num_cpus=1,
     )
-    return masks.groupby(["query_id", "source"]).map_groups(
+    # coarse-bucket reduce: kb = crc32(query, source) % 64 — the shuffle
+    # produces 64 groups, each finalizing its (query, source) pairs
+    # in-process (per-pair Ray dispatch would dominate at scale)
+    return masks.groupby("kb").map_groups(
         make_reduce_masks(probe_ref, theta, source_shards_ref),
         batch_format="pyarrow",
     )

@@ -91,16 +91,30 @@ def _masks_for_bank_row(
     return mask_bits
 
 
+N_REDUCE_BUCKETS = 64
+
+
+def _reduce_bucket(query_id: str, source: str, n_buckets: int = N_REDUCE_BUCKETS) -> int:
+    """Cross-process-deterministic coarse bucket for the reduce groupby
+    (Python ``hash`` is salted per process and would split keys)."""
+    import zlib
+
+    return zlib.crc32(f"{query_id}\x00{source}".encode()) % n_buckets
+
+
 class ShardProber:
     """Actor-pool stage over the BANK dataset: emits per-(query, source)
-    shard masks.  Probe set loaded once per actor (broadcast)."""
+    shard masks.  Probe set loaded once per actor (broadcast).  Each row
+    carries ``kb``, a coarse bucket over (query, source), so the downstream
+    reduce shuffles into ``N_REDUCE_BUCKETS`` groups instead of one Ray
+    dispatch per (query, source) pair — millions of tiny groups at scale."""
 
     def __init__(self, probe_ref):
         self.probe: QueryProbeSet = ray.get(probe_ref)
 
     def __call__(self, bank_batch: pa.Table) -> pa.Table:
         probe = self.probe
-        out = {"query_id": [], "source": [], "mask": []}
+        out = {"query_id": [], "source": [], "mask": [], "kb": []}
         sources = bank_batch["source"].to_pylist()
         shard_ids = bank_batch["shard_id"].to_pylist()
         bits_col = bank_batch["bits"]
@@ -115,49 +129,53 @@ class ShardProber:
             # gets its own window-range slice (rows stay tiny regardless of
             # how many queries ride the batch)
             qset = np.unique(probe.per_shard[sid][2])
+            src = sources[row]
             for q in qset:
                 lo = int(probe.win_offset[q])
                 nw = int(probe.wins_per_query[q])
                 pb = np.packbits(
                     mask_bits[lo : lo + nw], bitorder="little"
                 ).tobytes()
-                out["query_id"].append(probe.query_ids[q])
-                out["source"].append(sources[row])
+                qid = probe.query_ids[q]
+                out["query_id"].append(qid)
+                out["source"].append(src)
                 out["mask"].append(pb)
+                out["kb"].append(_reduce_bucket(qid, src))
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], pa.string()),
                 "source": pa.array(out["source"], pa.string()),
                 "mask": pa.array(out["mask"], pa.large_binary()),
+                "kb": pa.array(out["kb"], pa.int32()),
             }
         )
 
 
 def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
-    """Build the groupby(query, source) finalizer: AND shard masks (clearing
-    windows probed in shards the source has NO bank row for), count this
-    query's windows, apply the theta threshold."""
+    """Build the groupby(kb) finalizer: within one coarse bucket, iterate the
+    (query, source) pairs IN-PROCESS (no per-pair Ray dispatch), AND each
+    pair's shard masks (clearing windows probed in shards the source has NO
+    bank row for), count the query's windows, apply the theta threshold."""
 
-    # ray.get once per WORKER (closure cache), not once per group — map_groups
-    # invokes this per (query, source) key
+    # ray.get once per WORKER (closure cache), not once per group
     cache: dict = {}
 
-    def reduce_masks(group: pa.Table) -> pa.Table:
-        if "probe" not in cache:
-            cache["probe"] = ray.get(probe_ref)
-            cache["source_shards"] = ray.get(source_shards_ref)
-        probe: QueryProbeSet = cache["probe"]
-        source_shards: dict[str, set[int]] = cache["source_shards"]
-        qid = group["query_id"][0].as_py()
-        source = group["source"][0].as_py()
-        acc = np.frombuffer(group["mask"][0].as_py(), dtype=np.uint8).copy()
-        for row in range(1, group.num_rows):
-            acc &= np.frombuffer(group["mask"][row].as_py(), dtype=np.uint8)
+    def _finalize_pair(
+        probe: QueryProbeSet,
+        source_shards: dict[str, set[int]],
+        qid: str,
+        source: str,
+        masks: list[bytes],
+        out: dict,
+    ) -> None:
+        acc = np.frombuffer(masks[0], dtype=np.uint8).copy()
+        for m in masks[1:]:
+            acc &= np.frombuffer(m, dtype=np.uint8)
         q = probe.query_index[qid]
         lo = int(probe.win_offset[q])
         nw = int(probe.wins_per_query[q])
         if nw == 0:
-            return HITS_SCHEMA.empty_table()
+            return
         bits = np.unpackbits(acc, bitorder="little")[:nw].astype(bool)
         have = source_shards.get(source, set())
         for sid in probe.per_shard:
@@ -166,16 +184,42 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
         found = int(bits.sum())
         min_wins = max(1, math.ceil(nw * theta / 100))
         if found < min_wins:
+            return
+        out["query_id"].append(qid)
+        out["source"].append(source)
+        out["wins_found"].append(found)
+        out["n_wins"].append(nw)
+        out["fraction"].append(round(found * 100.0 / nw, 2))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
             return HITS_SCHEMA.empty_table()
+        if "probe" not in cache:
+            cache["probe"] = ray.get(probe_ref)
+            cache["source_shards"] = ray.get(source_shards_ref)
+        probe: QueryProbeSet = cache["probe"]
+        source_shards: dict[str, set[int]] = cache["source_shards"]
+        qids = group["query_id"].to_pylist()
+        srcs = group["source"].to_pylist()
+        masks = group["mask"].to_pylist()
+        by_pair: dict[tuple[str, str], list[bytes]] = {}
+        for qid, src, m in zip(qids, srcs, masks):
+            by_pair.setdefault((qid, src), []).append(m)
+        out: dict[str, list] = {
+            "query_id": [], "source": [], "wins_found": [],
+            "n_wins": [], "fraction": [],
+        }
+        for (qid, src), ms in by_pair.items():
+            _finalize_pair(probe, source_shards, qid, src, ms, out)
         return pa.table(
             {
-                "query_id": [qid],
-                "source": [source],
-                "wins_found": pa.array([found], pa.int64()),
-                "n_wins": pa.array([nw], pa.int64()),
-                "fraction": pa.array([round(found * 100.0 / nw, 2)], pa.float64()),
+                "query_id": pa.array(out["query_id"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "wins_found": pa.array(out["wins_found"], pa.int64()),
+                "n_wins": pa.array(out["n_wins"], pa.int64()),
+                "fraction": pa.array(out["fraction"], pa.float64()),
             },
             schema=HITS_SCHEMA,
         )
 
-    return reduce_masks
+    return reduce_bucket
