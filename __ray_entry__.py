@@ -24,6 +24,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from metaprofi_ray.pipelines import (
         ann,
+        ann_ivf,
         clustering,
         dedup,
         flagship,
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ------------------------------------------
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": ann.lsh_topk,
+        "ann_ivf_topk": ann_ivf.ivf_topk,
+        "ann_ivf_topk_full": ann_ivf.ivf_topk_full,
         "knn_label_stats": ann.knn_label_stats,
         # --- multimodal binary-column plumbing (decode stubbed) ---------
         "media_bytes_per_kind": multimodal.media_bytes_per_kind,
@@ -353,6 +356,14 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
                    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
             FROM documents ORDER BY doc_id
+        """,
+        "ann_ivf_topk_full": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 10
         """,
         "ann_brute_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -19,14 +19,14 @@ import ray
 import ray.data as rd
 
 
-def kmeans_embeddings(
-    sf_dir: str, k: int = 10, iters: int = 5, seed: int = 5
-) -> pd.DataFrame:
-    """Returns per-cluster (cluster, size, inertia_sum) after ``iters``
-    Lloyd iterations; centroids init = k seeded random corpus rows."""
+def kmeans_centroids(
+    path: str, k: int = 10, iters: int = 5, seed: int = 5
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Lloyd k-means over an embeddings parquet file; returns
+    ``(centroids, last_partials)``.  Used both by the ``kmeans_embeddings``
+    query and as the IVF coarse quantizer trainer (``ann_ivf``)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    path = os.path.join(sf_dir, "embeddings.parquet")
     # init from the leading row group(s) only — a deterministic seeded
     # choice within a bounded prefix, never a full-table driver read
     import pyarrow.parquet as pq
@@ -100,7 +100,17 @@ def kmeans_embeddings(
             new[c] = vec / max(total, 1)
         centroids = new
         last = partials
+    return centroids, last
 
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 10, iters: int = 5, seed: int = 5
+) -> pd.DataFrame:
+    """Returns per-cluster (cluster, size, inertia_sum) after ``iters``
+    Lloyd iterations; centroids init = k seeded rows from the leading row
+    group."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    _, last = kmeans_centroids(path, k=k, iters=iters, seed=seed)
     out = (
         last.groupby("cluster", as_index=False)
         .agg(size=("n", "sum"), inertia_sum=("inertia", "sum"))

@@ -1,0 +1,42 @@
+"""IVF-partitioned ANN: read pruning + recall vs the exact baseline."""
+
+import numpy as np
+import pytest
+
+from metaprofi_ray.pipelines import ann, ann_ivf
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_full_equals_brute(ray_session):
+    """nprobe=nlist scans everything → must equal exact brute force (also
+    proves the cell assignment kept every vector exactly once)."""
+    brute = ann.brute_force_topk(SF, query_vec_id=0, k=10)
+    full = ann_ivf.ivf_topk_full(SF, query_vec_id=0, k=10)
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+    np.testing.assert_allclose(full["cosine"], brute["cosine"], atol=1e-9)
+
+
+def test_ivf_prunes_reads(ray_session):
+    top, stats = ann_ivf.ivf_topk(
+        SF, query_vec_id=0, k=10, nlist=16, nprobe=4, return_stats=True
+    )
+    assert len(top) == 10
+    assert stats["files_read"] < stats["files_total"], stats
+    # reads at most ~nprobe/nlist of the cells (file counts per cell vary)
+    assert stats["files_read"] / stats["files_total"] <= 0.5
+
+
+@pytest.mark.parametrize("qid", [0, 7, 23])
+def test_ivf_recall(ray_session, qid):
+    """recall@10 of the pruned probe vs exact — reported, bounded below.
+    Random embeddings are the hardest case for IVF (no cluster structure),
+    so the bound is deliberately loose; structured corpora do far better."""
+    brute = set(ann.brute_force_topk(SF, query_vec_id=qid, k=10)["vec_id"])
+    approx = set(
+        ann_ivf.ivf_topk(SF, query_vec_id=qid, k=10, nlist=16, nprobe=8)[
+            "vec_id"
+        ]
+    )
+    recall = len(brute & approx) / 10
+    assert recall >= 0.3, f"recall@10 = {recall}"
