@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_keep_canonical": dedup.dedup_keep_canonical,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
         # --- similarity search ------------------------------------------
         "ann_brute_topk": ann.brute_force_topk,
         "ann_lsh_topk": ann.lsh_topk,

@@ -107,7 +107,14 @@ def run_bench() -> dict:
     )
     t0 = time.perf_counter()
     query_pipe.query_index(index_dir, rd.from_arrow(qt), theta=75, concurrency=4).count()
-    timings["bloom_query_2k"] = round(time.perf_counter() - t0, 3)
+    t_query = time.perf_counter() - t0
+    timings["bloom_query_2k"] = round(t_query, 3)
+    # second (warm) pass: the memoized BankIndex load is amortized, giving
+    # the steady-state q/s the scaling section reports
+    t0 = time.perf_counter()
+    query_pipe.query_index(index_dir, rd.from_arrow(qt), theta=75, concurrency=4).count()
+    t_query_warm = time.perf_counter() - t0
+    timings["bloom_query_2k_warm"] = round(t_query_warm, 3)
 
     # ---- representative operator pipelines over sf_dir -----------------
     def timed(name: str, fn):
@@ -133,6 +140,7 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_docs": n_rows,
         "sequences_per_sec": round(seq_per_sec, 1),
+        "query_qps": round(2000 / min(t_query, t_query_warm), 1),
     }
 
 
@@ -150,7 +158,7 @@ def run_scaling(levels=(8, 32)) -> dict:
     tput_lo = out[lo]["sequences_per_sec"]
     tput_hi = out[hi]["sequences_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
-    return {
+    result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -162,6 +170,13 @@ def run_scaling(levels=(8, 32)) -> dict:
         "sf": out[hi]["sf"],
         "n_docs": out[hi]["n_docs"],
     }
+    qlo = out[lo].get("query_qps")
+    qhi = out[hi].get("query_qps")
+    if qlo and qhi:
+        result[f"query_qps_{lo}cpu"] = qlo
+        result[f"query_qps_{hi}cpu"] = qhi
+        result["query_scaling_ratio"] = round(qhi / qlo, 3)
+    return result
 
 
 if __name__ == "__main__":

@@ -31,18 +31,34 @@ def _resolve(path: str) -> list[str] | str:
 
 
 def _init_ray() -> bool:
-    """Init Ray if nobody else owns the session; returns True if we did."""
+    """Init Ray if nobody else owns the session; returns True if we did.
+
+    ``RAY_ADDRESS`` selects the cluster: unset/"local" starts an in-process
+    session sized by ``RAY_GRAFT_CPUS``; any other value (``auto``,
+    ``ray://head:10001``) ATTACHES to that running cluster — ``num_cpus``
+    is deliberately not passed there, the cluster owns its resources.
+    This is the multi-node entry guard: the same CLI invocation runs
+    single-node locally and cluster-wide under ``ray job submit``
+    (scripts/submit.py)."""
     import ray
 
     owned = not ray.is_initialized()
     if owned:
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", os.cpu_count() or 8)),
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RAY_ADDRESS", "local") or "local"
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", os.cpu_count() or 8)),
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

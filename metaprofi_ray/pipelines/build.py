@@ -138,7 +138,7 @@ def build_index(
 
         shutil.rmtree(banks_dir)
     merged = merge_banks(partial_banks(ds, cfg), cfg, salt_buckets=salt_buckets)
-    merged.write_parquet(banks_dir)
+    merged.write_parquet(banks_dir, **bank_io.BANK_PARQUET_ARGS)
     # sources before manifest: the manifest is the validity marker loaders
     # key on, so it lands last (a crash in between leaves a visibly
     # incomplete index, never a valid-looking one missing its summary)

@@ -546,3 +546,106 @@ def embedding_neardup_pairs(
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     return ds.map_batches(Block, batch_format="pandas", batch_size=512, concurrency=(1, 8))
+
+
+def embedding_neardup_pairs_lsh(
+    sf_dir: str, threshold: float = 0.4, n_tables: int = 12, n_bits: int = 4,
+    n_buckets: int = 64, seed: int = 33,
+) -> pd.DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    replace the full-matrix broadcast of ``embedding_neardup_pairs``.
+
+    Each vector emits ``n_tables`` rows keyed by its hyperplane signature
+    (carrying its normalized float32 vector — an ``n_tables``× data
+    expansion traded for never holding the corpus anywhere); a coarse
+    ``groupby(kb)`` co-locates buckets; candidate pairs verify with an
+    exact in-bucket cosine, so precision is 1.0 by construction and recall
+    (measured in tests) follows the standard ``1-(1-p^b)^T`` LSH curve.
+    Shuffle volume: n_tables rows per vector — no broadcast, no O(N²)."""
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+    dim = len(first["embedding"][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pref = ray.put(planes)
+
+    class SignEmit:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"kb": pd.Series([], dtype="int32"),
+                     "table": pd.Series([], dtype="int32"),
+                     "sig": pd.Series([], dtype="int64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "vec": pd.Series([], dtype="object")}
+                )
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            n = len(df)
+            T, b, _ = self.planes.shape
+            bits = (
+                np.einsum("nd,tbd->ntb", mat, self.planes) > 0
+            )  # (n, T, b)
+            sig = (bits << np.arange(b)[None, None, :]).sum(axis=2)  # (n, T)
+            tables = np.tile(np.arange(T, dtype=np.int32), n)
+            sigs = sig.reshape(-1).astype(np.int64)
+            kb = ((sigs * np.int64(T) + tables) % n_buckets).astype(np.int32)
+            return pd.DataFrame(
+                {
+                    "kb": kb,
+                    "table": tables,
+                    "sig": sigs,
+                    "vec_id": np.repeat(
+                        df["vec_id"].to_numpy().astype(np.int64), T
+                    ),
+                    "vec": list(
+                        np.repeat(
+                            mat.astype(np.float32), T, axis=0
+                        )
+                    ),
+                }
+            )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        for (_, _), bucket in g.groupby(["table", "sig"], sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("vec_id")
+            ids = bucket["vec_id"].to_numpy()
+            mat = np.stack(bucket["vec"].to_numpy()).astype(np.float64)
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            out["vec_a"].extend(ids[ii].tolist())
+            out["vec_b"].extend(ids[jj].tolist())
+            out["cosine"].extend(sims[ii, jj].tolist())
+        return pd.DataFrame(out).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+
+    pairs = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(SignEmit, batch_format="pandas", batch_size=1024,
+                     concurrency=(1, 8))
+        .groupby("kb")
+        .map_groups(verify_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    from ..functions.numeric import round_half_away
+
+    out = pairs.groupby(["vec_a", "vec_b"], as_index=False)["cosine"].max()
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 4)
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -51,7 +51,9 @@ def update_index(
     old_banks = rd.read_parquet(os.path.join(index_dir, bank_io.BANKS))
     new_partials = partial_banks(new_ds, old_cfg)
     merged = merge_banks(old_banks.union(new_partials), old_cfg)
-    merged.write_parquet(os.path.join(out_dir, bank_io.BANKS))
+    merged.write_parquet(
+        os.path.join(out_dir, bank_io.BANKS), **bank_io.BANK_PARQUET_ARGS
+    )
     bank_io.write_manifest(
         out_dir, old_cfg, extra={"updated_from": os.path.abspath(index_dir)}
     )

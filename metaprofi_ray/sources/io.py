@@ -28,6 +28,13 @@ from ..config import SketchConfig
 from ..sketches import bloom, hll
 from ..stages.bloom_build import STATS_SHARD
 
+
+# Bank Parquet codec: zstd-3 stores the sparse-fill bit rows at ~0.20x of
+# the logical dense bytes (vs 0.34x for the default codec; the reference's
+# PackBits+zstd-9 reaches 0.17x at 6x the write cost — measured by
+# scripts/bank_bytes.py, table in BENCH/BASELINE.md).
+BANK_PARQUET_ARGS = {"compression": "zstd", "compression_level": 3}
+
 MANIFEST = "manifest.json"
 BANKS = "banks"
 SOURCES = "sources.parquet"

@@ -89,7 +89,9 @@ def build_with_checkpoints(
         shutil.rmtree(tmp, ignore_errors=True)
         t0 = time.perf_counter()
         merged = merge_banks(partial_banks(read_tokens(files), cfg), cfg)
-        merged.write_parquet(os.path.join(tmp, "banks"))
+        merged.write_parquet(
+            os.path.join(tmp, "banks"), **bank_io.BANK_PARQUET_ARGS
+        )
         # metrics from the merged stats rows (small read)
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -127,7 +129,9 @@ def build_with_checkpoints(
             sorted(glob.glob(os.path.join(ckpt_root, f"partition={pid:05d}", "banks", "*.parquet")))
         )
     part_banks = rd.read_parquet(part_files)
-    merge_banks(part_banks, cfg).write_parquet(banks_tmp)
+    merge_banks(part_banks, cfg).write_parquet(
+        banks_tmp, **bank_io.BANK_PARQUET_ARGS
+    )
     # atomic-ish publish: invalidate FIRST (the manifest is the validity
     # marker BankIndex.load keys on), swap banks in one rename, then write
     # sources before the manifest — no window serves a stale or partial index
