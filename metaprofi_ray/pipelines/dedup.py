@@ -60,6 +60,15 @@ def _word_shingles(text: str, n: int) -> set[bytes]:
     } or {text.lower().encode("utf-8")}
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 lacks bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
     sh = sorted(_word_shingles(text, n))
     out = np.empty(len(sh), dtype=np.uint64)
@@ -225,28 +234,59 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- SimHash
 class SimHasher:
     """64-bit SimHash over word shingles; near-dups = small Hamming
-    distance.  Output: (doc_id, simhash) + 4 rotated prefix buckets so a
-    groupby can find pairs within distance <= 3 without all-pairs."""
+    distance.
+
+    Vectorized across the whole batch (same discipline as MinHashSigner):
+    words intern via one Arrow split + dictionary-encode, every shingle
+    window hashes in one ``hash_windows`` pass, the per-doc shingle SET
+    dedupes with a single ``np.unique`` over (doc, hash) pairs, and the 64
+    bit-votes accumulate via ``np.add.reduceat`` — no per-doc Python."""
 
     def __init__(self, shingle_n: int = 2):
         self.shingle_n = shingle_n
-
-    def simhash(self, text: str) -> int:
-        h = _shingle_hashes(text, self.shingle_n)
-        if h.size == 0:
-            return 0
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1))
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        self.memo: dict[str, int] = {}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import wordids
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=df["doc_id"].dtype),
+                 "simhash": pd.Series([], dtype="uint64")}
+            )
+        flat_words, row_raw, n_docs = wordids.split_words(
+            pa.array(df["text"], type=pa.string()), lower=True
+        )
+        ids, rows, lens = wordids.intern_ids(
+            flat_words, row_raw, n_docs, MinHashSigner._hash_word,
+            memo=self.memo, dtype=np.int32,
+        )
+        nw = self.shingle_n
+        offsets_in = np.concatenate([[0], np.cumsum(lens)])
+        new_lens = np.maximum(lens, nw)  # short docs: one zero-padded shingle
+        offsets = np.concatenate([[0], np.cumsum(new_lens)])
+        flat = np.zeros(int(offsets[-1]), dtype=np.int32)
+        flat[offsets[rows] + (np.arange(ids.size) - offsets_in[rows])] = ids
+        starts, row_of = hashing.window_starts(offsets, nw)
+        h = hashing.hash_windows(flat, starts, nw, hashing.SEED_H1)
+        # per-doc UNIQUE shingles (simhash votes over the shingle set)
+        key = np.stack([row_of, h.view(np.int64)], axis=1)
+        uniq = np.unique(key, axis=0)
+        urow = uniq[:, 0]
+        uh = uniq[:, 1].view(np.uint64)
+        bits = (
+            (uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)
+        ).astype(np.int64)
+        seg = np.searchsorted(urow, np.arange(n_docs))
+        sums = np.add.reduceat(bits, seg, axis=0)
+        cnt = np.diff(np.append(seg, len(urow)))
+        votes = 2 * sums - cnt[:, None]
+        sim = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1)
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].values,
-                "simhash": np.array(
-                    [self.simhash(t) for t in df["text"]], dtype=np.uint64
-                ),
-            }
+            {"doc_id": df["doc_id"].values, "simhash": sim.astype(np.uint64)}
         )
 
 
@@ -297,7 +337,7 @@ def simhash_pairs(
             shs = bucket["simhash"].to_numpy(dtype=np.uint64)
             for i in range(len(docs)):
                 x = shs[i] ^ shs[i + 1 :]
-                d = np.array([bin(int(v)).count("1") for v in x])
+                d = _popcount64(x)
                 for off in np.nonzero(d <= max_hamming)[0]:
                     out["doc_a"].append(docs[i])
                     out["doc_b"].append(docs[i + 1 + off])

@@ -137,24 +137,49 @@ def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
     """Winnowing-style fingerprint: 64-bit rolling (polynomial) hash over
     bytes, minimum hash per ``window``-gram stride, xor-folded to one
     uint64 per document.  Deterministic; used for cheap near-identity
-    bucketing upstream of heavier dedup."""
+    bucketing upstream of heavier dedup.
+
+    Vectorized ACROSS the batch: the Arrow string column's utf-8 data
+    buffer is read zero-copy, all docs' gram hashes compute in one
+    ``window``-step lane loop, and the strided minima / xor folds run as
+    two ``reduceat`` passes — byte-identical to the per-doc formulation
+    (short docs fall back to blake2b, unchanged)."""
+    import pyarrow as pa
+
+    from ..sketches.hashing import window_starts
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        fps = np.empty(len(df), dtype=np.uint64)
-        for i, t in enumerate(df["text"]):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            if b.size < window:
-                fps[i] = U64(int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                ))
-                continue
-            # rolling polynomial hash via cumulative powers (vectorized)
-            n_g = b.size - window + 1
-            acc = np.zeros(n_g, dtype=np.uint64)
-            for j in range(window):
-                acc = acc * _FP_BASE + b[j : j + n_g].astype(np.uint64)
-            fps[i] = np.bitwise_xor.reduce(np.minimum.reduceat(
-                acc, np.arange(0, n_g, window)
+        n_docs = len(df)
+        fps = np.empty(n_docs, dtype=np.uint64)
+        if n_docs == 0:
+            return pd.DataFrame({"doc_id": df["doc_id"].values,
+                                 "fingerprint": fps})
+        arr = pa.array(df["text"], type=pa.string())
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n_docs + 1]
+        buf = np.frombuffer(
+            arr.buffers()[2] or b"", dtype=np.uint8
+        )
+        lens = np.diff(offs).astype(np.int64)
+        starts, row_of = window_starts(offs, window)
+        acc = np.zeros(starts.shape[0], dtype=np.uint64)
+        for j in range(window):
+            acc = acc * _FP_BASE + buf[starts + j].astype(np.uint64)
+        long_docs = np.flatnonzero(lens >= window)
+        if long_docs.size:
+            seg = np.searchsorted(row_of, np.arange(n_docs + 1))
+            n_wins = (seg[1:] - seg[:-1])[long_docs]
+            n_groups = (n_wins + window - 1) // window
+            cum = np.concatenate([[0], np.cumsum(n_groups)])
+            intra = np.arange(int(cum[-1])) - np.repeat(cum[:-1], n_groups)
+            grp_idx = np.repeat(seg[long_docs], n_groups) + intra * window
+            mins = np.minimum.reduceat(acc, grp_idx)
+            folds = np.bitwise_xor.reduceat(mins, cum[:-1])
+            fps[long_docs] = folds
+        for i in np.flatnonzero(lens < window):
+            fps[i] = U64(int.from_bytes(
+                hashlib.blake2b(
+                    df["text"].iloc[i].encode(), digest_size=8
+                ).digest(), "little",
             ))
         return pd.DataFrame({"doc_id": df["doc_id"].values,
                              "fingerprint": fps.astype("uint64")})
@@ -193,16 +218,31 @@ def token_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     # NOTE on parity: texts in these corpora are ASCII-space separated; the
     # SQL oracle's regexp \s+ and Python str.split() agree on that domain
     # (they diverge on Unicode whitespace — documented convention).
+    # Vectorized combiner: one Arrow split + dictionary-encode per batch,
+    # counts via bincount over the dictionary indices — no Python Counter.
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        c: Counter = Counter()
-        for t in df["text"]:
-            c.update(t.split())
+        from ..functions.wordids import split_words
+
+        flat, _, _ = split_words(pa.array(df["text"], type=pa.string()))
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="str"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        dct = pc.dictionary_encode(flat)
+        if isinstance(dct, pa.ChunkedArray):
+            dct = dct.combine_chunks()
+        idx = dct.indices.to_numpy(zero_copy_only=False)
+        tokens = np.asarray(dct.dictionary.to_pandas(), dtype=object)
+        counts = np.bincount(idx, minlength=len(tokens)).astype(np.int64)
+        keep = tokens != ""  # Arrow split artifacts at text boundaries
         return pd.DataFrame(
             {
-                "token": pd.Series(list(c.keys()), dtype="str"),
-                "n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                "token": pd.Series(tokens[keep], dtype="str"),
+                "n": counts[keep],
             }
         )
 
