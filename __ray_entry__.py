@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": relational.top_parts_per_brand,
         "kmeans_embeddings": clustering.kmeans_embeddings,
         "events_prior_orders": relational.events_prior_orders,
+        "events_prior_orders_partitioned": relational.events_prior_orders_partitioned,
         "customers_without_orders": relational.customers_without_orders,
         "events_running_value": relational.events_running_value,
         # --- training-data ops: text ------------------------------------
@@ -201,6 +202,14 @@ def oracle_sql() -> dict[str, str]:
             ) <= 3
         """,
         "events_prior_orders": """
+            SELECT e.event_id,
+                   max(o.o_orderdate) AS last_order_date,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_prior_orders
+            FROM events e LEFT JOIN orders o
+              ON (o.o_custkey % 150) = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
+        """,
+        "events_prior_orders_partitioned": """
             SELECT e.event_id,
                    max(o.o_orderdate) AS last_order_date,
                    CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_prior_orders
