@@ -114,3 +114,30 @@ def test_minhash_signer_matches_naive():
         expect = _naive_signature(t, signer)
         got = np.asarray(out["sig"].iloc[i], dtype=np.uint64)
         np.testing.assert_array_equal(got, expect, err_msg=t)
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# whitespace-heavy alphabet to stress the empty-token masking
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab \t\n\r\x0b\x0c")), max_size=30
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(_texts)
+@settings(max_examples=150, deadline=None)
+def test_split_intern_property(texts):
+    flat, row_of, n = wordids.split_words(pa.array(texts, type=pa.string()))
+    ids, rows, lens = wordids.intern_ids(
+        flat, row_of, n, lambda w: stable_hash(w) % VOCAB, dtype=np.int32
+    )
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    for r, text in enumerate(texts):
+        got = ids[offsets[r] : offsets[r + 1]].tolist()
+        assert got == naive_ids(text), repr(text)
