@@ -12,16 +12,17 @@ Protocol:
   1. Hash all query windows once on the driver; bucket probe entries by the
      shard their bit falls in (the analogue of the reference's hash binning,
      /root/reference/metaprofi/lib/search_index.py:578-592).
-  2. Stream bank rows; for each (source, shard) row evaluate that shard's
-     probe entries against the packed bits and emit ONE row per (query,
-     source): a packed per-window "all probes of this window that fall in
-     this shard are present" bitmask.  Windows with no probes in the shard
-     stay 1 (vacuous AND).
-  3. ``groupby(query_id, source)`` ANDs the shard masks; popcount of the
-     final mask = windows found; threshold ``ceil(n_wins·θ/100)`` as always.
+  2. Stream bank rows; COMBINE LOCALLY per source: every shard row of a
+     source seen in the same batch ANDs its window bits into one
+     per-(query, source) mask (windows with no probes in the seen shards
+     stay 1 — vacuous AND), so the shuffle moves ONE mask row per
+     (query, source) per batch, not one per shard.
+  3. ``groupby(kb)`` (coarse bucket over (query, source)) ANDs the
+     remaining per-batch masks; popcount of the final mask = windows
+     found; threshold ``ceil(n_wins·θ/100)`` as always.
 
-Shuffle volume: queries × sources_hit × shards_touched small mask rows —
-independent of m and of corpus size.
+Shuffle volume: queries × sources_hit mask rows per bank batch —
+independent of m, of shard count, and of corpus size.
 """
 
 from __future__ import annotations
@@ -40,7 +41,16 @@ from .probe import HITS_SCHEMA
 
 
 class QueryProbeSet:
-    """Driver-built broadcastable probe structure for one query table."""
+    """Driver-built broadcastable probe structure for one query table.
+
+    Besides the raw per-shard probe entries, precomputes everything the
+    vectorized prober needs so the per-bank-row work is pure array math:
+    for each shard, the probe entries sorted by window (``order``/``seg``),
+    the distinct constrained windows (``win_ids``), each window's position
+    in the CONCATENATED per-query output layout (``flat_pos``), and the
+    byte-aligned layout itself (``qset``/``pair_nw``/``byte_off``/
+    ``template``) — every query's window range padded to a byte boundary
+    so ONE ``np.packbits`` per bank batch packs every (row, query) mask."""
 
     def __init__(self, queries: pa.Table, cfg: SketchConfig):
         values, starts, row_of_window = batch_windows(queries, cfg.k)
@@ -70,6 +80,38 @@ class QueryProbeSet:
             m = np.zeros(n_wins_total, dtype=bool)
             m[ew] = True
             self.shard_win_mask[sid] = m
+        # ---- vectorized-prober precomputation ----
+        # GLOBAL byte-aligned output layout over ALL queries: one packed
+        # mask buffer per source covers every query, so shard rows of a
+        # source combine locally (bit-AND in place) before any shuffle
+        nw_all = self.wins_per_query
+        pad_bits = ((nw_all + 7) // 8) * 8
+        bit_off = np.concatenate([[0], np.cumsum(pad_bits)])
+        L = int(bit_off[-1])
+        template = np.zeros(L, dtype=bool)
+        for q in range(self.n_queries):
+            template[bit_off[q] : bit_off[q] + int(nw_all[q])] = True
+        self.g_bit_off = bit_off
+        self.g_byte_off = (bit_off // 8).astype(np.int64)
+        self.g_template = template
+        self.qid_arr = np.array(self.query_ids, dtype=object)
+        self.qhash = np.array(
+            [_str_hash64(q) for q in self.query_ids], dtype=np.uint64
+        )
+        self.shard_plan: dict[int, dict] = {}
+        for sid, (loc, ew, eq) in self.per_shard.items():
+            order = np.argsort(ew, kind="stable")
+            ew_sorted = ew[order]
+            win_ids, win_starts = np.unique(ew_sorted, return_index=True)
+            # each constrained window -> its bit position in the global
+            # layout (window's owning query range + in-query offset)
+            w_query = row_of_window[win_ids]
+            flat_pos = bit_off[w_query] + (win_ids - self.win_offset[w_query])
+            self.shard_plan[int(sid)] = {
+                "local_sorted": loc[order],
+                "win_seg": win_starts,
+                "flat_pos": flat_pos,
+            }
 
 
 def _masks_for_bank_row(
@@ -94,59 +136,108 @@ def _masks_for_bank_row(
 N_REDUCE_BUCKETS = 64
 
 
-def _reduce_bucket(query_id: str, source: str, n_buckets: int = N_REDUCE_BUCKETS) -> int:
-    """Cross-process-deterministic coarse bucket for the reduce groupby
-    (Python ``hash`` is salted per process and would split keys)."""
-    import zlib
+def _str_hash64(s: str) -> int:
+    """Cross-process-deterministic 64-bit string hash (Python ``hash`` is
+    salted per process and would split groupby keys)."""
+    import hashlib
 
-    return zlib.crc32(f"{query_id}\x00{source}".encode()) % n_buckets
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+    )
 
 
 class ShardProber:
     """Actor-pool stage over the BANK dataset: emits per-(query, source)
-    shard masks.  Probe set loaded once per actor (broadcast).  Each row
-    carries ``kb``, a coarse bucket over (query, source), so the downstream
-    reduce shuffles into ``N_REDUCE_BUCKETS`` groups instead of one Ray
-    dispatch per (query, source) pair — millions of tiny groups at scale."""
+    shard masks.  Probe set loaded once per actor (broadcast).
+
+    Fully vectorized per shard: one gather+shift tests every probe bit of
+    every bank row at once, one ``bitwise_and.reduceat`` ANDs probes into
+    window bits, one ``np.packbits`` packs EVERY (row, query) mask (the
+    per-query regions are byte-aligned in the precomputed layout), and the
+    Arrow binary column is built directly from that packed buffer + offset
+    arithmetic — no per-row or per-query Python.
+
+    Each row carries ``kb``, a coarse bucket over (query, source), so the
+    downstream reduce shuffles into ``N_REDUCE_BUCKETS`` groups instead of
+    one Ray dispatch per (query, source) pair — millions of tiny groups at
+    scale."""
 
     def __init__(self, probe_ref):
         self.probe: QueryProbeSet = ray.get(probe_ref)
 
     def __call__(self, bank_batch: pa.Table) -> pa.Table:
         probe = self.probe
-        out = {"query_id": [], "source": [], "mask": [], "kb": []}
-        sources = bank_batch["source"].to_pylist()
-        shard_ids = bank_batch["shard_id"].to_pylist()
+        sources = np.asarray(bank_batch["source"].to_pylist(), dtype=object)
+        shard_ids = np.asarray(
+            bank_batch["shard_id"].to_numpy(zero_copy_only=False)
+        )
         bits_col = bank_batch["bits"]
-        for row in range(bank_batch.num_rows):
-            sid = shard_ids[row]
-            if sid < 0:
-                continue
-            mask_bits = _masks_for_bank_row(probe, bits_col[row].as_py(), sid)
-            if mask_bits is None:
-                continue
-            # only queries with >= 1 probe in this shard get a row; each
-            # gets its own window-range slice (rows stay tiny regardless of
-            # how many queries ride the batch)
-            qset = np.unique(probe.per_shard[sid][2])
-            src = sources[row]
-            for q in qset:
-                lo = int(probe.win_offset[q])
-                nw = int(probe.wins_per_query[q])
-                pb = np.packbits(
-                    mask_bits[lo : lo + nw], bitorder="little"
-                ).tobytes()
-                qid = probe.query_ids[q]
-                out["query_id"].append(qid)
-                out["source"].append(src)
-                out["mask"].append(pb)
-                out["kb"].append(_reduce_bucket(qid, src))
+        valid = np.flatnonzero(
+            np.array(
+                [
+                    sid >= 0 and int(sid) in probe.shard_plan
+                    for sid in shard_ids
+                ]
+            )
+        )
+        if valid.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "mask": pa.array([], pa.large_binary()),
+                    "kb": pa.array([], pa.int32()),
+                }
+            )
+        # one combined mask buffer per SOURCE: every shard row of the
+        # source ANDs its constrained windows in place (local combine —
+        # the shuffle then moves one row per (query, source), not per
+        # (query, source, shard))
+        src_names = sorted({str(s) for s in sources[valid]})
+        src_slot = {s: i for i, s in enumerate(src_names)}
+        S = len(src_names)
+        L = probe.g_template.size
+        mat = np.broadcast_to(probe.g_template, (S, L)).copy()
+        for r in valid:
+            plan = probe.shard_plan[int(shard_ids[r])]
+            buf = bits_col[int(r)].as_py()
+            bank = bloom.decode_dense(buf, len(buf) - 1)
+            loc = plan["local_sorted"]
+            present = (bank[loc // 8] >> (loc % 8).astype(np.uint8)) & 1
+            win_ok = np.bitwise_and.reduceat(
+                present, plan["win_seg"]
+            ).astype(bool)
+            row = src_slot[str(sources[r])]
+            mat[row, plan["flat_pos"]] &= win_ok
+        packed = np.packbits(mat, axis=1, bitorder="little")
+        LB = packed.shape[1]
+        byte_off = probe.g_byte_off
+        Q = probe.n_queries
+        offsets = np.empty(S * Q + 1, dtype=np.int64)
+        offsets[:-1] = (
+            np.arange(S, dtype=np.int64)[:, None] * LB + byte_off[None, :-1]
+        ).ravel()
+        offsets[-1] = S * LB
+        mask_arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            S * Q,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(packed.tobytes())],
+        )
+        shash = np.array([_str_hash64(s) for s in src_names], dtype=np.uint64)
+        kb = (
+            (probe.qhash[None, :] ^ shash[:, None])
+            % np.uint64(N_REDUCE_BUCKETS)
+        ).astype(np.int32).ravel()
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], pa.string()),
-                "source": pa.array(out["source"], pa.string()),
-                "mask": pa.array(out["mask"], pa.large_binary()),
-                "kb": pa.array(out["kb"], pa.int32()),
+                "query_id": pa.array(np.tile(probe.qid_arr, S), pa.string()),
+                "source": pa.array(
+                    np.repeat(np.array(src_names, dtype=object), Q),
+                    pa.string(),
+                ),
+                "mask": mask_arr,
+                "kb": pa.array(kb, pa.int32()),
             }
         )
 
@@ -191,6 +282,10 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
         out["n_wins"].append(nw)
         out["fraction"].append(round(found * 100.0 / nw, 2))
 
+    POP = np.array(
+        [bin(i).count("1") for i in range(256)], dtype=np.int64
+    )
+
     def reduce_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return HITS_SCHEMA.empty_table()
@@ -199,25 +294,101 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
             cache["source_shards"] = ray.get(source_shards_ref)
         probe: QueryProbeSet = cache["probe"]
         source_shards: dict[str, set[int]] = cache["source_shards"]
-        qids = group["query_id"].to_pylist()
-        srcs = group["source"].to_pylist()
+        import pandas as pd
+
+        qids = np.asarray(group["query_id"].to_pylist(), dtype=object)
+        srcs = np.asarray(group["source"].to_pylist(), dtype=object)
         masks = group["mask"].to_pylist()
-        by_pair: dict[tuple[str, str], list[bytes]] = {}
-        for qid, src, m in zip(qids, srcs, masks):
-            by_pair.setdefault((qid, src), []).append(m)
+        # pair segmentation: factorize + stable sort, no Python dict
+        qc = pd.factorize(qids)[0].astype(np.int64)
+        sc, s_uniques = pd.factorize(srcs)
+        pair = qc * (sc.max() + 1) + sc
+        order = np.argsort(pair, kind="stable")
+        pair_sorted = pair[order]
+        seg = np.concatenate(
+            [[0], np.flatnonzero(np.diff(pair_sorted)) + 1]
+        )
+        first = order[seg]  # one representative row per pair
+        lens = np.fromiter((len(m) for m in masks), dtype=np.int64,
+                           count=len(masks))
+        # sources with a missing probed shard need the slow per-pair
+        # correction (a missing bank row means absent bits, not vacuous)
+        probed = set(probe.per_shard)
+        src_incomplete = np.array(
+            [bool(probed - source_shards.get(s, set())) for s in s_uniques],
+            dtype=bool,
+        )
         out: dict[str, list] = {
             "query_id": [], "source": [], "wins_found": [],
             "n_wins": [], "fraction": [],
         }
-        for (qid, src), ms in by_pair.items():
-            _finalize_pair(probe, source_shards, qid, src, ms, out)
+        arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # process pairs grouped by mask byte length: stack + one
+        # elementwise-AND reduceat + one popcount per group
+        seg_lens = lens[first]
+        for L in np.unique(seg_lens):
+            sel_pairs = np.flatnonzero(seg_lens == L)
+            fast = sel_pairs[~src_incomplete[sc[first[sel_pairs]]]]
+            slow = sel_pairs[src_incomplete[sc[first[sel_pairs]]]]
+            for p in slow:
+                rows = order[seg[p] : seg[p + 1] if p + 1 < len(seg) else None]
+                _finalize_pair(
+                    probe, source_shards, qids[rows[0]], srcs[rows[0]],
+                    [masks[r] for r in rows], out,
+                )
+            if fast.size == 0:
+                continue
+            row_idx = np.concatenate(
+                [
+                    order[seg[p] : (seg[p + 1] if p + 1 < len(seg) else len(order))]
+                    for p in fast
+                ]
+            )
+            counts = np.array(
+                [
+                    (seg[p + 1] if p + 1 < len(seg) else len(order)) - seg[p]
+                    for p in fast
+                ],
+                dtype=np.int64,
+            )
+            stacked = np.frombuffer(
+                b"".join(masks[r] for r in row_idx), dtype=np.uint8
+            ).reshape(-1, int(L))
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            final = np.bitwise_and.reduceat(stacked, starts, axis=0)
+            found = POP[final].sum(axis=1)
+            rep = first[fast]
+            q_idx = np.array(
+                [probe.query_index[q] for q in qids[rep]], dtype=np.int64
+            )
+            nw = probe.wins_per_query[q_idx]
+            min_wins = np.maximum(
+                1, np.ceil(nw * theta / 100).astype(np.int64)
+            )
+            hit = found >= min_wins
+            arrays.append(
+                (rep[hit], found[hit], nw[hit])
+            )
+        qid_out: list = list(out["query_id"])
+        src_out: list = list(out["source"])
+        wins_out: list = list(out["wins_found"])
+        nw_out: list = list(out["n_wins"])
+        frac_out: list = list(out["fraction"])
+        for rep, found, nw in arrays:
+            qid_out.extend(qids[rep])
+            src_out.extend(srcs[rep])
+            wins_out.extend(found.tolist())
+            nw_out.extend(nw.tolist())
+            frac_out.extend(
+                np.round(found * 100.0 / nw, 2).tolist()
+            )
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], pa.string()),
-                "source": pa.array(out["source"], pa.string()),
-                "wins_found": pa.array(out["wins_found"], pa.int64()),
-                "n_wins": pa.array(out["n_wins"], pa.int64()),
-                "fraction": pa.array(out["fraction"], pa.float64()),
+                "query_id": pa.array(qid_out, pa.string()),
+                "source": pa.array(src_out, pa.string()),
+                "wins_found": pa.array(wins_out, pa.int64()),
+                "n_wins": pa.array(nw_out, pa.int64()),
+                "fraction": pa.array(frac_out, pa.float64()),
             },
             schema=HITS_SCHEMA,
         )
