@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_value": relational.events_running_value,
         # --- training-data ops: text ------------------------------------
         "token_counts": textstats.token_counts,
+        "token_counts_bpe": textstats.token_counts_bpe,
         "documents_sample": textstats.documents_sample,
         "token_topk": textstats.token_topk,
         "quality_scores": textstats.quality_scores,
@@ -234,6 +235,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tokens FROM documents
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "documents_sample": """
             SELECT doc_id, source, n_chars FROM documents

@@ -35,6 +35,34 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+class BpeTokenCounter:
+    """BPE-style pre-tokenizer count per document: letter runs, digit runs,
+    and punctuation runs each count as one token (the GPT-2-family
+    pre-tokenization shape, restricted to a regex dialect Python ``re`` and
+    DuckDB's RE2 interpret identically — no \\p classes, no lookarounds).
+    Compiled once per actor."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_PRETOKEN_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "n_bpe_tokens": df["text"].str.count(self.pat).astype("int64").values,
+            }
+        )
+
+
+def token_counts_bpe(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeTokenCounter, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
 class QualityScorer:
     """Per-doc quality heuristics: alpha ratio, digit ratio, mean word
     length, stopword ratio.  Fully vectorized (Arrow split + bincount; no
