@@ -129,6 +129,11 @@ def run_bench() -> dict:
     timed("exact_dedup", dedup.exact_dedup)
     timed("minhash_lsh_pairs", dedup.minhash_lsh_pairs)
     timed("ann_brute_topk", ann.brute_force_topk)
+    from metaprofi_ray.pipelines import ann_ivf, textstats
+
+    ann_ivf.build_ivf_index(os.path.join(sf_dir, "embeddings.parquet"))  # warm cell cache
+    timed("ann_ivf_topk", ann_ivf.ivf_topk)
+    timed("token_counts_bpe", textstats.token_counts_bpe)
 
     seq_per_sec = n_rows / t_build
     return {

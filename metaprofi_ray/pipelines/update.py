@@ -54,10 +54,11 @@ def update_index(
     merged.write_parquet(
         os.path.join(out_dir, bank_io.BANKS), **bank_io.BANK_PARQUET_ARGS
     )
+    # sources before manifest (the validity marker lands last)
+    bank_io.write_sources_summary(out_dir, old_cfg)
     bank_io.write_manifest(
         out_dir, old_cfg, extra={"updated_from": os.path.abspath(index_dir)}
     )
-    bank_io.write_sources_summary(out_dir, old_cfg)
     return out_dir
 
 
