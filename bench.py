@@ -25,7 +25,11 @@ def _bench_corpus(sf_tag: str, n_docs: int) -> str:
     from metaprofi_ray.sources.synth_fast import generate_corpus_fast
 
     out = f"/tmp/metaprofi_bench_corpus_{sf_tag}_{n_docs}"
-    return generate_corpus_fast(out, n_docs=n_docs, files_per_source=2)
+    # max_docs_per_file caps the hot source's file (and therefore block)
+    # size — without it one 16x-sized block becomes the build's straggler
+    return generate_corpus_fast(
+        out, n_docs=n_docs, files_per_source=2, max_docs_per_file=15_000
+    )
 
 
 def run_bench() -> dict:

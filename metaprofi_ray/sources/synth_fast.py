@@ -31,15 +31,22 @@ def generate_corpus_fast(
     seed: int = BENCH_SEED,
     files_per_source: int = 1,
     hot_source_frac: float = 0.25,
+    max_docs_per_file: int | None = None,
 ) -> str:
-    """Write ``n_sources * files_per_source`` Parquet files; returns out_dir.
+    """Write per-source Parquet files; returns out_dir.
     One hot source holds ``hot_source_frac`` of all docs (skew exercise);
     the rest are uniform.  Doc lengths ~ 32 + Exp(mean_len-32), so k=8
-    windows always exist."""
+    windows always exist.
+
+    ``max_docs_per_file`` caps file size regardless of source skew (the
+    north_rule's "skew-aware splitting of hot sources" applied at the
+    storage layout: a hot source becomes many evenly-sized files, so no
+    single read block — and therefore no single sketch task — carries the
+    whole hot source as a straggler)."""
     stamp = (
         f"n_docs={n_docs} n_sources={n_sources} vocab={vocab} "
         f"mean_len={mean_len} seed={seed} files={files_per_source} "
-        f"hot={hot_source_frac}\n"
+        f"hot={hot_source_frac} maxdpf={max_docs_per_file}\n"
     )
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
@@ -56,8 +63,11 @@ def generate_corpus_fast(
     counts = [hot] + [rest] * (n_sources - 1)
     for s, cnt in enumerate(counts):
         src = f"src{s:03d}"
-        bounds = np.linspace(0, cnt, files_per_source + 1).astype(int)
-        for f in range(files_per_source):
+        n_files = files_per_source
+        if max_docs_per_file:
+            n_files = max(n_files, -(-cnt // max_docs_per_file))
+        bounds = np.linspace(0, cnt, n_files + 1).astype(int)
+        for f in range(n_files):
             n = int(bounds[f + 1] - bounds[f])
             if n == 0:
                 continue
