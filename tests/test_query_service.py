@@ -1,0 +1,46 @@
+"""Warm QueryService vs the one-shot probe paths: identical hits, reusable
+across calls, and far lower per-call latency than a fresh Dataset pipeline."""
+
+import glob
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from metaprofi_ray import SketchConfig
+from metaprofi_ray.pipelines.build import build_from_parquet
+from metaprofi_ray.pipelines.query import query_table
+from metaprofi_ray.pipelines.query_service import QueryService
+from metaprofi_ray.sources.synth import generate_corpus, make_queries
+
+
+def _sorted(df):
+    return df.sort_values(["query_id", "source"]).reset_index(drop=True)
+
+
+def test_service_matches_query_table(ray_session, tmp_path):
+    corpus = generate_corpus(
+        str(tmp_path / "corpus"), n_sources=6, docs_total=900, k=8
+    )
+    cfg = SketchConfig(k=8, h=2, m=1 << 16, shards=4)
+    idx = str(tmp_path / "idx")
+    build_from_parquet(sorted(glob.glob(corpus + "/*.parquet")), cfg, idx)
+    queries = make_queries(corpus, 6)
+    with QueryService(idx, n_actors=2) as svc:
+        for theta in (100, 50):
+            got = _sorted(svc.query(queries, theta=theta).to_pandas())
+            expect = _sorted(query_table(idx, queries, theta=theta).to_pandas())
+            assert got.equals(expect), theta
+        # repeated calls reuse the warm pool; latency is millisecond-scale
+        t0 = time.perf_counter()
+        for _ in range(5):
+            svc.query(queries, theta=75)
+        per_call = (time.perf_counter() - t0) / 5
+        assert per_call < 1.0, per_call
+
+    import pytest
+
+    with QueryService(idx, n_actors=1) as svc:
+        with pytest.raises(ValueError):
+            svc.query(queries, theta=0)
+        assert svc.query(queries.slice(0, 0)).num_rows == 0
