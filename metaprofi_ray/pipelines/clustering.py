@@ -19,14 +19,138 @@ import ray
 import ray.data as rd
 
 
+def _row_uniform(vec_ids: np.ndarray, rnd: int, seed: int) -> np.ndarray:
+    """Deterministic per-(vec_id, round) uniform in [0, 1) — independent of
+    partitioning/parallelism (splitmix64-style mix, no stateful RNG)."""
+    x = vec_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    salt = ((rnd + 1) * 0xBF58476D1CE4E5B9 + seed * 0x94D049BB133111EB) % (
+        1 << 64
+    )
+    x += np.uint64(salt)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x.astype(np.float64) / float(2**64)
+
+
+def kmeans_parallel_init(
+    path: str, k: int, rounds: int = 4, seed: int = 5
+) -> np.ndarray:
+    """Distributed k-means|| initialization (Bahmani et al., VLDB 2012):
+    per round, one pass computes the cost φ = Σ min-d² and one pass samples
+    each point with probability min(1, 2k·d²/φ) — candidates accumulate
+    (≈ 2k per round), then a weighted k-means++ on the (small) candidate
+    set on the driver picks the final k seeds.  Sampling uses a
+    deterministic per-(vec_id, round) hash, so the result is identical
+    under any partitioning.  Replaces prefix-row init when the leading
+    row group would bias the seeds (TODO §5)."""
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+    centers = np.asarray(first["embedding"].to_pylist(), dtype=np.float64)[:1]
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).materialize()
+    ell = 2 * k
+
+    def min_d2(mat: np.ndarray, C: np.ndarray) -> np.ndarray:
+        d2 = (
+            (mat * mat).sum(1)[:, None]
+            - 2 * mat @ C.T
+            + (C * C).sum(1)[None, :]
+        )
+        return np.maximum(d2.min(axis=1), 0.0)
+
+    for rnd in range(rounds):
+        cref = ray.put(centers)
+
+        def cost_pass(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(cref)
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            return pd.DataFrame({"phi": [float(min_d2(mat, C).sum())]})
+
+        phi = float(
+            ds.map_batches(cost_pass, batch_format="pandas")
+            .to_pandas()["phi"]
+            .sum()
+        )
+        if phi <= 0:
+            break
+
+        def sample_pass(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(cref)
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            p = np.minimum(1.0, ell * min_d2(mat, C) / phi)
+            u = _row_uniform(
+                df["vec_id"].to_numpy().astype(np.int64), rnd, seed
+            )
+            sel = u < p
+            return pd.DataFrame(
+                {"embedding": [v.tolist() for v in mat[sel]]}
+            )
+
+        new = ds.map_batches(sample_pass, batch_format="pandas").to_pandas()
+        if len(new):
+            centers = np.vstack(
+                [centers, np.asarray(new["embedding"].tolist(), dtype=np.float64)]
+            )
+
+    # weight candidates by the points they capture (one assignment pass)
+    cref = ray.put(centers)
+
+    def count_pass(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d2 = (
+            (mat * mat).sum(1)[:, None] - 2 * mat @ C.T + (C * C).sum(1)[None, :]
+        )
+        lab = d2.argmin(1)
+        cnt = np.bincount(lab, minlength=len(C))
+        return pd.DataFrame({"cand": np.arange(len(C)), "n": cnt})
+
+    w = (
+        ds.map_batches(count_pass, batch_format="pandas")
+        .to_pandas()
+        .groupby("cand")["n"]
+        .sum()
+        .reindex(range(len(centers)), fill_value=0)
+        .to_numpy()
+        .astype(np.float64)
+    )
+    # weighted k-means++ over the small candidate set (driver-side; the
+    # candidate set is O(rounds * 2k))
+    rng = np.random.default_rng(seed)
+    chosen = [int(np.argmax(w))]
+    while len(chosen) < min(k, len(centers)):
+        C = centers[chosen]
+        d2 = min_d2(centers, C) * w
+        tot = d2.sum()
+        if tot <= 0:
+            remaining = [i for i in range(len(centers)) if i not in chosen]
+            chosen.append(remaining[0])
+            continue
+        chosen.append(int(rng.choice(len(centers), p=d2 / tot)))
+    return centers[chosen]
+
+
 def kmeans_centroids(
-    path: str, k: int = 10, iters: int = 5, seed: int = 5
+    path: str, k: int = 10, iters: int = 5, seed: int = 5,
+    init: str = "prefix",
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Lloyd k-means over an embeddings parquet file; returns
     ``(centroids, last_partials)``.  Used both by the ``kmeans_embeddings``
-    query and as the IVF coarse quantizer trainer (``ann_ivf``)."""
+    query and as the IVF coarse quantizer trainer (``ann_ivf``).
+
+    ``init="prefix"`` (default) seeds from the leading row group —
+    deterministic and cheap, biased toward the first files;
+    ``init="kmeans||"`` runs the distributed k-means|| over-sampling pass
+    (unbiased at any scale, a few extra corpus scans)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if init == "kmeans||":
+        centroids = kmeans_parallel_init(path, k, seed=seed)
+        ds = rd.read_parquet(path, columns=["embedding"]).materialize()
+        return _lloyd(ds, centroids, iters)
     # init from the leading row group(s) only — a deterministic seeded
     # choice within a bounded prefix, never a full-table driver read
     import pyarrow.parquet as pq
@@ -55,7 +179,15 @@ def kmeans_centroids(
     # object store spills cold blocks to disk; the re-scan is still cheaper
     # than re-decoding parquet per iteration)
     ds = rd.read_parquet(path, columns=["embedding"]).materialize()
+    return _lloyd(ds, centroids, iters)
 
+
+def _lloyd(
+    ds: rd.Dataset, centroids: np.ndarray, iters: int
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Distributed Lloyd iterations: per round, broadcast centroids, every
+    batch emits per-cluster partial sums/counts (the combiner), the tiny
+    partial table reduces on the driver."""
     for _ in range(iters):
         cref = ray.put(centroids)
 

@@ -40,3 +40,19 @@ def test_ivf_recall(ray_session, qid):
     )
     recall = len(brute & approx) / 10
     assert recall >= 0.3, f"recall@10 = {recall}"
+
+
+def test_kmeans_parallel_init(ray_session):
+    """k-means|| init: deterministic under reruns, k centroids of the right
+    shape, and end inertia no worse than ~2x the prefix init's."""
+    import numpy as np
+
+    from metaprofi_ray.pipelines.clustering import kmeans_centroids
+
+    path = SF + "/embeddings.parquet"
+    c1, last1 = kmeans_centroids(path, k=8, iters=3, init="kmeans||")
+    c2, _ = kmeans_centroids(path, k=8, iters=3, init="kmeans||")
+    np.testing.assert_allclose(c1, c2)
+    assert c1.shape[0] == 8
+    _, last_p = kmeans_centroids(path, k=8, iters=3)
+    assert last1["inertia"].sum() <= 2.0 * last_p["inertia"].sum()
