@@ -81,6 +81,23 @@ def build_ivf_index(
         AssignBucket, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
     ).write_parquet(os.path.join(tmp, CELLS), partition_cols=["bucket"])
     np.save(os.path.join(tmp, CENTROIDS), centroids)
+    # per-cell row counts from the written files' parquet footers (metadata
+    # only): the balanced-probe manifest — lets a query report exactly what
+    # fraction of the corpus its probed cells cover, and at 100 TB drives
+    # cell re-splitting when assignment skews
+    import json
+
+    import pyarrow.parquet as pq
+
+    cell_rows: dict[str, int] = {}
+    for bdir in sorted(glob.glob(os.path.join(tmp, CELLS, "bucket=*"))):
+        b = os.path.basename(bdir).split("=", 1)[1]
+        cell_rows[b] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(bdir, "*.parquet"))
+        )
+    with open(os.path.join(tmp, "cells_manifest.json"), "w") as fh:
+        json.dump({"nlist": nlist, "cell_rows": cell_rows}, fh, indent=2)
     try:
         os.rename(tmp, index_dir)  # atomic publish; loser of a race discards
     except OSError:
@@ -154,8 +171,21 @@ def ivf_topk(
     top["cosine"] = round_half_away(top["cosine"], 4)
     top = top[["vec_id", "cosine"]]
     if return_stats:
-        return top, {"files_read": len(files), "files_total": n_total_files,
-                     "buckets": buckets}
+        import json
+
+        stats = {"files_read": len(files), "files_total": n_total_files,
+                 "buckets": buckets}
+        mpath = os.path.join(index_dir, "cells_manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                man = json.load(fh)
+            cr = man.get("cell_rows", {})
+            total = sum(cr.values())
+            probed = sum(cr.get(str(b), 0) for b in buckets)
+            stats["rows_probed"] = probed
+            stats["rows_total"] = total
+            stats["row_coverage"] = round(probed / max(total, 1), 4)
+        return top, stats
     return top
 
 

@@ -56,3 +56,21 @@ def test_kmeans_parallel_init(ray_session):
     assert c1.shape[0] == 8
     _, last_p = kmeans_centroids(path, k=8, iters=3)
     assert last1["inertia"].sum() <= 2.0 * last_p["inertia"].sum()
+
+
+def test_ivf_cells_manifest(ray_session):
+    """The cell manifest's row counts sum to the corpus and probe stats
+    report the exact row coverage."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    top, stats = ann_ivf.ivf_topk(
+        SF, query_vec_id=0, k=10, nlist=16, nprobe=4, return_stats=True
+    )
+    assert "row_coverage" in stats
+    corpus_rows = pq.ParquetFile(SF + "/embeddings.parquet").metadata.num_rows
+    assert stats["rows_total"] == corpus_rows
+    assert 0 < stats["rows_probed"] <= corpus_rows
+    assert stats["row_coverage"] < 1.0
