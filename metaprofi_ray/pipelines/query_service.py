@@ -35,12 +35,23 @@ class _ProbeActor:
 
 class QueryService:
     """Hold a warm probe pool for an index dir; ``query()`` as many times
-    as needed; ``close()`` (or ``with``) tears the actors down."""
+    as needed; ``close()`` (or ``with``) tears the actors down.
 
-    def __init__(self, index_dir: str, n_actors: int = 4):
+    Repeated identical requests are served from a driver-side LRU keyed by
+    (query-table content, theta) — the analogue of the reference's LMDB
+    query-slice cache (lmdb_kv_store.py), valid because a service instance
+    is bound to one immutable index."""
+
+    def __init__(self, index_dir: str, n_actors: int = 4, cache_size: int = 64):
         index = BankIndex.load(index_dir)
         index_ref = ray.put(index)
         self.actors = [_ProbeActor.remote(index_ref) for _ in range(n_actors)]
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+        self._cache_size = cache_size
+        self.cache_hits = 0
+        self.cache_misses = 0
         # touch every actor once so construction cost is paid here, not on
         # the first query
         ray.get(
@@ -58,6 +69,22 @@ class QueryService:
             ]
         )
 
+    @staticmethod
+    def _request_key(queries: pa.Table, theta: int) -> tuple:
+        """Content hash over the IPC serialization of the request columns.
+        (Hashing raw Arrow buffers would be wrong: a sliced table shares
+        its parent's buffers, so different slices could collide.)"""
+        import hashlib
+
+        import pyarrow.ipc as ipc
+
+        sink = pa.BufferOutputStream()
+        sub = queries.select(["query_id", "tokens"])
+        with ipc.new_stream(sink, sub.schema) as w:
+            w.write_table(sub)
+        h = hashlib.blake2b(sink.getvalue(), digest_size=16)
+        return (theta, queries.num_rows, h.digest())
+
     def query(self, queries: pa.Table, theta: int = 100) -> pa.Table:
         """Probe one query table; returns the hits table (HITS_SCHEMA)."""
         if not 1 <= theta <= 100:
@@ -65,6 +92,13 @@ class QueryService:
         n = queries.num_rows
         if n == 0:
             return HITS_SCHEMA.empty_table()
+        key = self._request_key(queries, theta)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            self.cache_hits += 1
+            return hit
+        self.cache_misses += 1
         k = len(self.actors)
         bounds = np.linspace(0, n, min(k, n) + 1).astype(int)
         futs = [
@@ -72,7 +106,11 @@ class QueryService:
             for a, lo, hi in zip(self.actors, bounds[:-1], bounds[1:])
             if hi > lo
         ]
-        return pa.concat_tables(ray.get(futs))
+        out = pa.concat_tables(ray.get(futs))
+        self._cache[key] = out
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return out
 
     def close(self) -> None:
         for a in self.actors:

@@ -44,3 +44,44 @@ def test_service_matches_query_table(ray_session, tmp_path):
         with pytest.raises(ValueError):
             svc.query(queries, theta=0)
         assert svc.query(queries.slice(0, 0)).num_rows == 0
+
+
+def test_service_request_cache(ray_session, tmp_path):
+    corpus = generate_corpus(
+        str(tmp_path / "c2"), n_sources=4, docs_total=400, k=8
+    )
+    cfg = SketchConfig(k=8, h=2, m=1 << 16, shards=4)
+    idx = str(tmp_path / "idx2")
+    build_from_parquet(sorted(glob.glob(corpus + "/*.parquet")), cfg, idx)
+    queries = make_queries(corpus, 4)
+    with QueryService(idx, n_actors=2, cache_size=4) as svc:
+        a = svc.query(queries, theta=75)
+        b = svc.query(queries, theta=75)  # identical request -> cache
+        assert svc.cache_hits == 1 and svc.cache_misses == 1
+        assert a.equals(b)
+        c = svc.query(queries, theta=50)  # different theta -> miss
+        assert svc.cache_misses == 2
+        # different content -> miss, and results differ from a
+        d = svc.query(queries.slice(0, max(queries.num_rows - 1, 1)), theta=75)
+        assert svc.cache_misses == 3
+        assert d.num_rows <= a.num_rows
+
+
+def test_service_cache_slices_do_not_collide(ray_session, tmp_path):
+    """Two different slices of one parent table share Arrow buffers; the
+    cache key must distinguish them (IPC-serialized content hash)."""
+    corpus = generate_corpus(
+        str(tmp_path / "c3"), n_sources=4, docs_total=400, k=8
+    )
+    cfg = SketchConfig(k=8, h=2, m=1 << 16, shards=4)
+    idx = str(tmp_path / "idx3")
+    build_from_parquet(sorted(glob.glob(corpus + "/*.parquet")), cfg, idx)
+    queries = make_queries(corpus, 4)
+    assert queries.num_rows >= 3
+    with QueryService(idx, n_actors=1) as svc:
+        n = queries.num_rows
+        a = svc.query(queries.slice(0, n - 1), theta=100)
+        b = svc.query(queries.slice(1, n - 1), theta=100)
+        assert svc.cache_hits == 0 and svc.cache_misses == 2
+        expect_b = query_table(idx, queries.slice(1, n - 1), theta=100)
+        assert _sorted(b.to_pandas()).equals(_sorted(expect_b.to_pandas()))
