@@ -446,10 +446,11 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------- dedup application (CC)
-def _apply_roots(sf_dir: str, comp: pd.DataFrame) -> pd.DataFrame:
+def label_canonical_dataset(sf_dir: str, comp: pd.DataFrame) -> rd.Dataset:
     """Broadcast the (small — bounded by the pair graph) node→root map and
-    label every document in a streaming ``map_batches`` pass.  Returns
-    ``(doc_id, canonical, keep)`` for ALL docs, sorted by doc_id."""
+    label every document in a streaming ``map_batches`` pass — the
+    scale-path sink: pipe the returned Dataset straight to
+    ``write_parquet`` (or ``filter(keep)``) without ever collecting it."""
     import ray
 
     rref = ray.put(dict(zip(comp["node"], comp["root"])))
@@ -469,11 +470,16 @@ def _apply_roots(sf_dir: str, comp: pd.DataFrame) -> pd.DataFrame:
                 }
             )
 
-    out = (
-        _docs(sf_dir, ["doc_id"])
-        .map_batches(Label, batch_format="pandas", concurrency=(1, 8))
-        .to_pandas()
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        Label, batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def _apply_roots(sf_dir: str, comp: pd.DataFrame) -> pd.DataFrame:
+    """Driver-entry face of ``label_canonical_dataset``: collects + sorts —
+    only sane at oracle-compare scale (the deliverable IS the table);
+    at corpus scale use the Dataset variant and write it out."""
+    out = label_canonical_dataset(sf_dir, comp).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
