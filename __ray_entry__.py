@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal binary-column plumbing (decode stubbed) ---------
         "media_bytes_per_kind": multimodal.media_bytes_per_kind,
         "media_stats": multimodal.media_stats,
+        "media_feature_norms": multimodal.media_feature_norms,
     }
 
 

@@ -138,6 +138,46 @@ def frame_sample_plan(batch: pa.Table, every: int = 5) -> pa.Table:
     )
 
 
+class FeatureExtract:
+    """Actor-pool feature extraction over decoded media: emits a fixed-dim
+    embedding per item.
+
+    STUB at the kernel level (a real deployment would run a vision/audio
+    model here — batched inference, weights loaded once in ``__init__``);
+    the fake features are a deterministic projection of payload bytes
+    (byte histogram → seeded random projection), so downstream consumers
+    (ANN over media, near-dup) exercise real ``list<float>`` plumbing with
+    stable values.  ``strict=True`` raises where the model call would be.
+    """
+
+    def __init__(self, dim: int = 16, seed: int = 11, strict: bool = False):
+        self.dim = dim
+        self.strict = strict
+        rng = np.random.default_rng(seed)
+        # "model weights": loaded once per actor, reused across batches
+        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real feature models are not available in this environment; "
+                "FeatureExtract(strict=False) provides the deterministic "
+                "fake features for pipeline testing"
+            )
+        payloads = batch["payload"].to_pylist()
+        feats = np.empty((len(payloads), self.dim), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            hist = np.bincount(
+                np.frombuffer(p or b"\0", dtype=np.uint8), minlength=256
+            ).astype(np.float32)
+            hist /= max(hist.sum(), 1.0)
+            feats[i] = hist @ self.proj
+        return batch.append_column(
+            "features",
+            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        )
+
+
 def media_pipeline(documents_path: str, batch_size: int = 64) -> rd.Dataset:
     """decode(stub, actor pool) → resize plan → stats.  Small batch_size:
     binary payloads make rows wide, so batches are sized by payload, not
@@ -146,6 +186,10 @@ def media_pipeline(documents_path: str, batch_size: int = 64) -> rd.Dataset:
     ds = rd.from_arrow(media)
     ds = ds.map_batches(
         DecodeStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+    ds = ds.map_batches(
+        FeatureExtract, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 4),
     )
     return ds.map_batches(resize_meta, batch_format="pyarrow", batch_size=batch_size)
@@ -164,6 +208,31 @@ def media_bytes_per_kind(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n_media"), Sum("n_bytes", alias_name="total_bytes")
     )
     return agg.to_pandas().sort_values("kind").reset_index(drop=True)
+
+
+def media_feature_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-kind mean L2 norm of the extracted (stub) features — exercises
+    the decode → feature-extract chain end-to-end over ``list<float>``
+    columns (deterministic; rows-only for the driver)."""
+    import os
+
+    ds = media_pipeline(os.path.join(sf_dir, "documents.parquet"))
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["features"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"kind": df["kind"], "norm": np.linalg.norm(mat, axis=1)}
+        )
+
+    out = (
+        ds.map_batches(norms, batch_format="pandas")
+        .to_pandas()
+        .groupby("kind", as_index=False)["norm"]
+        .mean()
+        .rename(columns={"norm": "mean_feature_norm"})
+    )
+    out["mean_feature_norm"] = out["mean_feature_norm"].round(6)
+    return out.sort_values("kind").reset_index(drop=True)
 
 
 def media_stats(sf_dir: str) -> pd.DataFrame:

@@ -245,3 +245,27 @@ class TestTokenTopk:
 
         n = documents_sample(SF, pct=10).count()
         assert 20 <= n <= 90  # ~10% of 500 with binomial slack
+
+
+class TestFeatureExtract:
+    def test_strict_raises(self):
+        import pyarrow as pa
+        import pytest
+
+        from metaprofi_ray.pipelines.multimodal import (
+            FeatureExtract,
+            synthesize_media,
+        )
+
+        media = synthesize_media(os.path.join(SF, "documents.parquet"), n=8)
+        with pytest.raises(NotImplementedError):
+            FeatureExtract(strict=True)(media)
+
+    def test_deterministic_features(self, ray_session):
+        from metaprofi_ray.pipelines.multimodal import media_feature_norms
+
+        a = media_feature_norms(SF)
+        b = media_feature_norms(SF)
+        assert a.equals(b)
+        assert set(a["kind"]) == {"image", "audio", "video"}
+        assert (a["mean_feature_norm"] > 0).all()
