@@ -130,7 +130,8 @@ def run_bench() -> dict:
     # best of 3 — the latency regime the Dataset path can't reach
     from metaprofi_ray.pipelines.query_service import QueryService
 
-    with QueryService(index_dir, n_actors=8) as svc:
+    # cache_size=0: measure the probe path, not the request LRU
+    with QueryService(index_dir, n_actors=8, cache_size=0) as svc:
         svc.query(qt.slice(0, 100), theta=75)
         t_svc = min(
             _timed_call(lambda: svc.query(qt, theta=75)) for _ in range(3)
@@ -155,6 +156,10 @@ def run_bench() -> dict:
     ann_ivf.build_ivf_index(os.path.join(sf_dir, "embeddings.parquet"))  # warm cell cache
     timed("ann_ivf_topk", ann_ivf.ivf_topk)
     timed("token_counts_bpe", textstats.token_counts_bpe)
+    # vectorized tokenizer throughput over the sf documents table
+    from metaprofi_ray.pipelines import flagship
+
+    timed("flagship_tokenize", flagship.tokens_dataset)
 
     seq_per_sec = n_rows / t_build
     return {
