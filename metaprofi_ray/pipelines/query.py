@@ -36,6 +36,8 @@ def query_index(
 
     Validates theta like the reference CLI (metaprofi_main.py:251-253).
     The loaded index is broadcast ONCE (`ray.put`), not per batch.
+    ``concurrency`` now only sizes the block split of a single-block query
+    source (the probe runs as a task pool, which autoscales on its own).
     """
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
