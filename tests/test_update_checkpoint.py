@@ -223,3 +223,36 @@ class TestSaltedMerge:
         b = str(root / "b")
         build_pipe.build_index(build_pipe.read_tokens(files), CFG, b, salt_buckets=4)
         assert _bank_state(a) == _bank_state(b)
+
+
+class TestAtomicPublish:
+    """The manifest is the validity marker: at every instant of a re-build
+    the index is either valid-and-complete or visibly absent — a crash
+    window must never serve stale banks as current."""
+
+    def test_load_refuses_unmarked_index(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        import pytest
+
+        from metaprofi_ray import SketchConfig
+        from metaprofi_ray.pipelines.build import build_from_parquet
+        from metaprofi_ray.sources.io import BankIndex
+        from metaprofi_ray.sources.synth import generate_corpus
+
+        corpus = generate_corpus(
+            str(tmp_path / "c"), n_sources=3, docs_total=200, k=8
+        )
+        idx = str(tmp_path / "idx")
+        build_from_parquet(
+            sorted(glob.glob(corpus + "/*.parquet")),
+            SketchConfig(k=8, h=2, m=1 << 15, shards=2),
+            idx,
+        )
+        assert BankIndex.load(idx)
+        # simulate the crash window: marker removed, banks still on disk
+        os.remove(os.path.join(idx, "manifest.json"))
+        BankIndex._memo.clear()
+        with pytest.raises(FileNotFoundError):
+            BankIndex.load(idx)
