@@ -116,15 +116,7 @@ def probe_batch(
     )
 
 
-class QueryProber:
-    """Actor-pool callable for ``map_batches``: loads the broadcast index once
-    per actor (``__init__``), probes every batch vectorized (``__call__``)."""
-
-    def __init__(self, index_ref: "ray.ObjectRef | BankIndex", theta: int):
-        self.index = (
-            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
-        )
-        self.theta = theta
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return probe_batch(batch, self.index, self.theta)
+# NOTE: the former actor-pool QueryProber wrapper was removed — the query
+# Dataset path now runs probe_batch as a task pool (pipelines/query.py,
+# zero-copy ray.get of the broadcast index per task beats actor spawn), and
+# the persistent-state form lives in pipelines/query_service.QueryService.
