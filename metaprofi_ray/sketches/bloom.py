@@ -28,8 +28,9 @@ def bits_for_windows(
     values: np.ndarray, starts: np.ndarray, cfg: SketchConfig
 ) -> np.ndarray:
     """Global Bloom bit indices, shape (n_windows, h) int64."""
-    h1 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H1)
-    h2 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H2)
+    h1, h2 = hashing.hash_windows_2(
+        values, starts, cfg.k, hashing.SEED_H1, hashing.SEED_H2
+    )
     return hashing.double_hash_bits(h1, h2, cfg.h, cfg.m)
 
 

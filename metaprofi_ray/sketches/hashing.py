@@ -53,6 +53,43 @@ def _fmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _pair64(values: np.ndarray) -> np.ndarray:
+    """Precompute the 8-byte lane value starting at every token position:
+    ``pair[i] = v[i] | v[i+1] << 32`` (last entry is the bare low half).
+    One sequential pass; every lane of every window then needs a single
+    gather from this buffer instead of two gathers + shift/or — sliding
+    windows overlap, so the pair at each position is shared by up to
+    ``ceil(k/2)`` windows."""
+    v = (
+        values.view(np.uint32)
+        if values.dtype == np.int32
+        else values.astype(np.uint32)
+    )
+    pair = v.astype(np.uint64)
+    if pair.shape[0] > 1:
+        pair[:-1] |= v[1:].astype(np.uint64) << U64(32)
+    return pair
+
+
+def _mix_lane(out: np.ndarray, lane: np.ndarray) -> None:
+    """One murmur3 x64 body round, in place (lane is consumed)."""
+    lane *= _C1
+    _rotl64_inplace(lane, 31)
+    lane *= _C2
+    out ^= lane
+    _rotl64_inplace(out, 27)
+    out *= U64(5)
+    out += U64(0x52DCE729)
+
+
+def _acc_update(out: np.ndarray, k1: np.ndarray) -> None:
+    """Accumulator half of the body round (k1 already lane-mixed)."""
+    out ^= k1
+    _rotl64_inplace(out, 27)
+    out *= U64(5)
+    out += U64(0x52DCE729)
+
+
 def hash_windows(
     values: np.ndarray, starts: np.ndarray, k: int, seed: np.uint64
 ) -> np.ndarray:
@@ -64,30 +101,49 @@ def hash_windows(
             reference's per-sequence window loop bloomfilter_cython.pyx:103-129).
     Returns uint64 array of len(starts).
     """
+    return hash_windows_2(values, starts, k, seed, None)[0]
+
+
+def hash_windows_2(
+    values: np.ndarray,
+    starts: np.ndarray,
+    k: int,
+    seed1: np.uint64,
+    seed2: np.uint64 | None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Fused one- or two-seed window hashing.
+
+    The build needs two independent hashes of every window (h1/h2 for
+    Kirsch–Mitzenmacher); hashing them in one lane loop shares the lane
+    gathers — the memory-bandwidth-bound part of the kernel — between both
+    accumulators (plus the ``_pair64`` precompute shares lane assembly
+    across overlapping windows).  Bit-identical to two ``hash_windows``
+    calls (property-tested)."""
     n = starts.shape[0]
-    out = np.full(n, seed, dtype=np.uint64)
+    out1 = np.full(n, seed1, dtype=np.uint64)
+    out2 = np.full(n, seed2, dtype=np.uint64) if seed2 is not None else None
     if n == 0:
-        return out
-    v = values.view(np.uint32) if values.dtype == np.int32 else values.astype(np.uint32)
-    # 8-byte lanes: tokens (2j, 2j+1); odd-k tail lane zero-padded high half.
-    # In-place uint64 ops throughout — one gather copy per lane, no other
-    # temporaries, vectorized across all windows.
+        return out1, out2
+    pair = _pair64(values)
     n_lanes = (k + 1) // 2
     for j in range(n_lanes):
-        lane = v[starts + 2 * j].astype(np.uint64)
-        if 2 * j + 1 < k:
-            hi = v[starts + 2 * j + 1].astype(np.uint64)
-            hi <<= U64(32)
-            lane |= hi
+        lane = pair[starts + 2 * j]  # fancy indexing -> fresh array
+        if 2 * j + 1 >= k:  # odd-k tail: zero-padded high half
+            lane &= U64(0xFFFFFFFF)
+        # the lane mixing (mul/rotl/mul) is seed-independent — compute it
+        # once and share it between both accumulators
         lane *= _C1
         _rotl64_inplace(lane, 31)
         lane *= _C2
-        out ^= lane
-        _rotl64_inplace(out, 27)
-        out *= U64(5)
-        out += U64(0x52DCE729)
-    out ^= U64(4 * k)
-    return _fmix64(out)
+        _acc_update(out1, lane)
+        if out2 is not None:
+            _acc_update(out2, lane)
+    out1 ^= U64(4 * k)
+    _fmix64(out1)
+    if out2 is not None:
+        out2 ^= U64(4 * k)
+        _fmix64(out2)
+    return out1, out2
 
 
 def hash_values_u64(values: np.ndarray, seed: np.uint64) -> np.ndarray:

@@ -72,8 +72,9 @@ def partial_sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
     _, tok_offsets = list_column_parts(batch.column("tokens"))
 
     # hash every window once; reuse h1 for the HLL distinct-shingle sketch
-    h1 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H1)
-    h2 = hashing.hash_windows(values, starts, cfg.k, hashing.SEED_H2)
+    h1, h2 = hashing.hash_windows_2(
+        values, starts, cfg.k, hashing.SEED_H1, hashing.SEED_H2
+    )
     bits = hashing.double_hash_bits(h1, h2, cfg.h, cfg.m)
 
     n_src = len(src_names)
