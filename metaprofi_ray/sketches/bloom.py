@@ -76,14 +76,22 @@ def set_bits_sharded(bits: np.ndarray, cfg: SketchConfig) -> dict[int, bytes]:
     # shards is small: per-shard boolean masks beat an argsort of the bits
     for sid in range(cfg.shards):
         sel = shard_ids == sid
-        if not sel.any():
+        n_raw = int(sel.sum())
+        if n_raw == 0:
             continue
-        ids = np.unique(local[sel]).astype(np.uint32)
-        if 4 * ids.size < cfg.shard_bytes:
+        if 4 * n_raw < cfg.shard_bytes:
+            # sparse candidate: dedupe (sort of a small subset) and encode
+            # as a unique-id list
+            ids = np.unique(local[sel]).astype(np.uint32)
             out[int(sid)] = TAG_SPARSE + ids.tobytes()
         else:
+            # dense: scatter raw indices directly — duplicate set-bits are
+            # free, so the unique/sort is skipped entirely (the encoding
+            # choice uses the RAW count; a pathologically duplicate-heavy
+            # shard may pick dense where sparse would be smaller, which
+            # costs bytes, never correctness)
             unpacked = np.zeros(cfg.shard_bits, dtype=bool)
-            unpacked[ids] = True
+            unpacked[local[sel]] = True
             out[int(sid)] = TAG_DENSE + np.packbits(
                 unpacked, bitorder="little"
             ).tobytes()
