@@ -36,6 +36,10 @@ def split_words(
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if texts.null_count:
+        # null text would poison the downstream count arithmetic (NaN ->
+        # astype(int64) garbage); treat it as an empty document instead
+        texts = pc.fill_null(texts, "")
     if lower:
         texts = pc.utf8_lower(texts)
     la = pc.utf8_split_whitespace(texts)

@@ -53,14 +53,26 @@ def _manifest_matches(path: str, files: list[str], cfg: SketchConfig) -> bool:
             doc = json.load(fh)
     except (OSError, json.JSONDecodeError):
         return False
-    return (
-        doc.get("files") == files
-        and doc.get("config") == json.loads(cfg.to_json())
-        # content guard: regenerated-in-place inputs must invalidate; size
-        # alone misses same-size rewrites, so mtime_ns is checked too
-        and doc.get("file_bytes") == [os.path.getsize(f) for f in files]
-        and doc.get("file_mtime_ns") == [os.stat(f).st_mtime_ns for f in files]
-    )
+    # content guard: regenerated-in-place inputs must invalidate; size
+    # alone misses same-size rewrites, so mtime_ns is checked too.  Each
+    # mismatch is logged so an operator can tell an intentional format bump
+    # (e.g. a manifest written before a key existed) from input churn.
+    checks = {
+        "files": (doc.get("files"), files),
+        "config": (doc.get("config"), json.loads(cfg.to_json())),
+        "file_bytes": (doc.get("file_bytes"), [os.path.getsize(f) for f in files]),
+        "file_mtime_ns": (
+            doc.get("file_mtime_ns"), [os.stat(f).st_mtime_ns for f in files]
+        ),
+    }
+    stale = [k for k, (got, want) in checks.items() if got != want]
+    if stale:
+        print(
+            f"[checkpoint] invalidating {path}: mismatch on {stale} "
+            "(missing keys mean the manifest predates the current format)"
+        )
+        return False
+    return True
 
 
 def build_with_checkpoints(

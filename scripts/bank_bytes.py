@@ -72,9 +72,7 @@ def main() -> int:
     # parquet re-encode at zstd-9 (bits column only, one row group)
     tmp_zstd = os.path.join(index_dir, "_bits_zstd9.parquet")
     bits_only = pa.table({"bits": bits_rows["bits"]})
-    pq.write_table(tmp_zstd, None) if False else pq.write_table(
-        bits_only, tmp_zstd, compression="zstd", compression_level=9
-    )
+    pq.write_table(bits_only, tmp_zstd, compression="zstd", compression_level=9)
     zstd_parquet = os.path.getsize(tmp_zstd)
     os.remove(tmp_zstd)
 
