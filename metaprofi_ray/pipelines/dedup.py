@@ -33,6 +33,36 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def _dedupe_pairs(
+    pairs: rd.Dataset, keys: tuple[str, str], val: str, how: str
+) -> rd.Dataset:
+    """Distributed cross-band/cross-table pair dedupe: a pair surfacing in
+    several LSH bands keeps its best score via ``groupby(pair).aggregate``.
+    The shuffle input is the pair list itself (never the corpus), and the
+    result stays a Dataset the caller can write out or stream into
+    ``cc.connected_components`` — no driver-side pandas hop."""
+    from ray.data.aggregate import Max, Min
+
+    agg = Max(val, alias_name=val) if how == "max" else Min(val, alias_name=val)
+    return pairs.groupby(list(keys)).aggregate(agg)
+
+
+def _collect_pairs(ds: rd.Dataset, schema: dict[str, str]) -> pd.DataFrame:
+    """Driver/test face: collect an already-deduped pair Dataset, restoring
+    the column schema Ray drops for empty results, sorted for determinism.
+    Only sane at oracle-compare scale — at corpus scale keep the Dataset."""
+    out = ds.to_pandas()
+    cols = list(schema)
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in schema.items()}
+        )
+    return (
+        out[cols].astype(schema)
+        .sort_values(cols[:2]).reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------------ exact
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """Keep the smallest doc_id per distinct text (md5 partition key) —
@@ -142,10 +172,10 @@ class MinHashSigner:
         )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_ds(
     sf_dir: str, n_perm: int = 64, bands: int = 16, shingle_n: int = 3,
     jaccard_threshold: float = 0.5, n_buckets: int = 64,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Candidate pairs via LSH banding, verified with the MinHash-estimated
     Jaccard.  Rows: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
 
@@ -155,8 +185,10 @@ def minhash_lsh_pairs(
     ``n_buckets`` groups (not one per LSH bucket — per-group dispatch
     overhead dwarfs the pairing work when most buckets are singletons),
     and each group pairs its buckets with one vectorized pandas groupby.
-    Final cross-band dedupe happens on the driver: the pair list IS the
-    result and is small by construction."""
+    The cross-band dedupe (a pair can match in multiple bands — keep the
+    max estimate) is a distributed ``groupby(pair).aggregate(Max)``: at a
+    100-TB/30%-dup scale the pair list is O(corpus) and never fits the
+    driver, so the result stays a Dataset end-to-end."""
     rows_per_band = n_perm // bands
 
     class SignExplode(MinHashSigner):
@@ -217,17 +249,15 @@ def minhash_lsh_pairs(
 
     pairs = exploded.groupby("kb").map_groups(
         pair_bucket_group, batch_format="pandas"
-    ).to_pandas()
-    if pairs.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "est_jaccard": pd.Series([], dtype="float64")}
-        )
-    # a pair can match in multiple bands -> keep the max estimate
-    return (
-        pairs.groupby(["doc_a", "doc_b"], as_index=False)["est_jaccard"].max()
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    return _dedupe_pairs(pairs, ("doc_a", "doc_b"), "est_jaccard", "max")
+
+
+def minhash_lsh_pairs(sf_dir: str, **kwargs) -> pd.DataFrame:
+    """Collected face of :func:`minhash_lsh_pairs_ds` (driver/test scale)."""
+    return _collect_pairs(
+        minhash_lsh_pairs_ds(sf_dir, **kwargs),
+        {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"},
     )
 
 
@@ -297,14 +327,15 @@ def simhash_signatures(sf_dir: str, shingle_n: int = 2) -> rd.Dataset:
     )
 
 
-def simhash_pairs(
+def simhash_pairs_ds(
     sf_dir: str, max_hamming: int = 3, n_buckets: int = 64
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Near-dup pairs by SimHash: 4×16-bit block keys (pigeonhole — any pair
     within Hamming distance 3 shares at least one exact 16-bit block).
     Same stage shape as MinHash-LSH: one explode map, one coarse-bucket
-    groupby with vectorized intra-group verification, driver-side dedupe
-    of the small pair list."""
+    groupby with vectorized intra-group verification, and a distributed
+    ``groupby(pair).aggregate(Min)`` for the cross-block dedupe — the pair
+    list stays a Dataset (O(corpus) on a duplicate-heavy crawl)."""
     sigs = simhash_signatures(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -350,30 +381,30 @@ def simhash_pairs(
         sigs.map_batches(explode, batch_format="pandas")
         .groupby("kb")
         .map_groups(verify_group, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
-        )
-    return (
-        pairs.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return _dedupe_pairs(pairs, ("doc_a", "doc_b"), "hamming", "min")
+
+
+def simhash_pairs(sf_dir: str, **kwargs) -> pd.DataFrame:
+    """Collected face of :func:`simhash_pairs_ds` (driver/test scale)."""
+    return _collect_pairs(
+        simhash_pairs_ds(sf_dir, **kwargs),
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"},
     )
 
 
 # ------------------------------------------------------ n-gram Jaccard
-def candidate_shingle_sets(
+def candidate_shingles_ds(
     sf_dir: str, cand_ids: set[int], shingle_n: int
-) -> dict[int, np.ndarray]:
-    """Sorted 64-bit shingle-hash arrays for the candidate docs ONLY.
+) -> rd.Dataset:
+    """``(doc_id, hashes)`` rows — each candidate doc's unique 64-bit
+    shingle hashes packed as little-endian bytes — for the candidate docs
+    ONLY.
 
-    The candidate id set (small — bounded by the LSH pair list) is broadcast
-    via ``ray.put``; the documents table streams through ``map_batches`` and
-    each batch emits rows only for candidates it holds.  The result that
-    reaches the driver is O(candidates), never the corpus."""
+    The candidate id set (two int64 columns of the LSH pair list) is
+    broadcast via ``ray.put``; the documents table streams through
+    ``map_batches`` and each batch emits rows only for candidates it holds.
+    The result is O(candidates) rows and stays a Dataset."""
     import ray
 
     cref = ray.put(frozenset(int(c) for c in cand_ids))
@@ -386,63 +417,145 @@ def candidate_shingle_sets(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             hit = df["doc_id"].astype("int64").isin(self.cands)
             sub = df.loc[hit]
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "doc_id": sub["doc_id"].astype("int64").values,
-                    "hashes": [
-                        _shingle_hashes(t, self.n) for t in sub["text"]
-                    ],
+                    "doc_id": pa.array(
+                        sub["doc_id"].astype("int64").values, pa.int64()
+                    ),
+                    "hashes": pa.array(
+                        [
+                            _shingle_hashes(t, self.n).tobytes()
+                            for t in sub["text"]
+                        ],
+                        pa.large_binary(),
+                    ),
                 }
             )
 
-    rows = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(Extract, batch_format="pandas", concurrency=(1, 8))
-        .to_pandas()
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Extract, batch_format="pandas", concurrency=(1, 8)
     )
-    return {
-        int(d): np.asarray(h, dtype=np.uint64)
-        for d, h in zip(rows["doc_id"], rows["hashes"])
-    }
+
+
+def _tagged_frame(kb, tag, node, other, hashes) -> pa.Table:
+    """Arrow table (not pandas) so the binary ``hashes`` column keeps an
+    explicit type through empty blocks (pandas object columns defeat Ray's
+    block size estimator and drop schema on empties)."""
+    kb = np.asarray(kb, dtype=np.int64)
+    return pa.table(
+        {
+            "kb": pa.array(kb),
+            "tag": pa.array(np.full(len(kb), tag, dtype=np.int8)),
+            "node": pa.array(np.asarray(node, dtype=np.int64)),
+            "other": pa.array(np.asarray(other, dtype=np.int64)),
+            "hashes": pa.array(list(hashes), pa.large_binary()),
+        }
+    )
+
+
+def ngram_jaccard_pairs_ds(
+    sf_dir: str, shingle_n: int = 3, threshold: float = 0.8,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Exact n-gram Jaccard over candidate pairs from MinHash-LSH — the
+    verification stage of the dedup ladder (LSH recalls, Jaccard decides).
+
+    Fully distributed: candidate pairs and candidate shingle sets are
+    co-partitioned on a doc-bucket key (``doc % n_buckets``) and verified
+    inside ``groupby(kb).map_groups`` with two bucketed-merge rounds (the
+    same discipline ``cc.connected_components`` uses) — first attach the
+    a-side hashes keyed by ``doc_a``, then meet the b-side hashes keyed by
+    ``doc_b`` and compute the exact Jaccard in the bucket.  Nothing bigger
+    than the (two-int-column) candidate id set touches the driver.
+    Jaccard over 64-bit shingle hashes equals Jaccard over the string
+    shingles up to a ~2^-64 collision probability."""
+    from ..functions.numeric import round_half_away
+
+    B = n_buckets
+    EMPTY = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+    cands = minhash_lsh_pairs_ds(
+        sf_dir, jaccard_threshold=max(0.3, threshold - 0.2)
+    ).materialize()  # reused below; O(pair list), distributed in the store
+    if cands.count() == 0:
+        return rd.from_pandas(EMPTY)
+    # semi-join broadcast side: the candidate id set only (two int64 cols)
+    id_cols = cands.select_columns(["doc_a", "doc_b"]).to_pandas()
+    cand_ids = set(id_cols["doc_a"]) | set(id_cols["doc_b"])
+    shingles = candidate_shingles_ds(sf_dir, cand_ids, shingle_n).materialize()
+
+    def pairs_tag(t: pa.Table) -> pd.DataFrame:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _tagged_frame(a % B, 0, a, b, [b""] * len(a))
+
+    def shingles_tag(t: pa.Table) -> pd.DataFrame:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _tagged_frame(
+            d % B, 1, d, np.full(len(d), -1), t["hashes"].to_pylist()
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: pair rows (keyed by doc_a) pick up doc_a's hashes and
+        re-key themselves by doc_b for the meet round."""
+        sh = g[g["tag"] == 1][["node", "hashes"]].rename(
+            columns={"hashes": "a_hashes"}
+        )
+        pr = g[g["tag"] == 0][["node", "other"]]
+        m = pr.merge(sh, on="node", how="inner")
+        dst = m["other"].to_numpy(dtype=np.int64)
+        return _tagged_frame(
+            dst % B, 0, dst, m["node"].to_numpy(dtype=np.int64),
+            m["a_hashes"].tolist(),
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: each carried pair row meets doc_b's shingle row;
+        exact Jaccard of the two uint64 hash sets decides."""
+        sh = g[g["tag"] == 1]
+        lut = dict(zip(sh["node"], sh["hashes"]))
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for node, other, h in zip(
+            g.loc[g["tag"] == 0, "node"],
+            g.loc[g["tag"] == 0, "other"],
+            g.loc[g["tag"] == 0, "hashes"],
+        ):
+            sa = np.frombuffer(h, dtype=np.uint64)
+            sb = np.frombuffer(lut[node], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                out["doc_a"].append(int(other))
+                out["doc_b"].append(int(node))
+                out["jaccard"].append(float(round_half_away(j, 4)))
+        return pd.DataFrame(out).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    carried = (
+        cands.map_batches(pairs_tag, batch_format="pyarrow")
+        .union(shingles.map_batches(shingles_tag, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(attach_a, batch_format="pandas")
+    )
+    return (
+        carried.union(shingles.map_batches(shingles_tag, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 def ngram_jaccard_pairs(
     sf_dir: str, shingle_n: int = 3, threshold: float = 0.8
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard over candidate pairs from MinHash-LSH — the
-    verification stage of the dedup ladder (LSH recalls, Jaccard decides).
-
-    Verification is distributed: only the candidate docs' shingle-hash sets
-    (sorted uint64 arrays, extracted inside ``map_batches`` against the
-    broadcast candidate id set) ever reach the driver; the documents table
-    itself streams and is never materialized.  Jaccard over 64-bit shingle
-    hashes equals Jaccard over the string shingles up to a ~2^-64 collision
-    probability."""
-    cands = minhash_lsh_pairs(
-        sf_dir, jaccard_threshold=max(0.3, threshold - 0.2)
+    """Collected face of :func:`ngram_jaccard_pairs_ds` (oracle-checked)."""
+    return _collect_pairs(
+        ngram_jaccard_pairs_ds(sf_dir, shingle_n=shingle_n, threshold=threshold),
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
     )
-    if cands.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
-    from ..functions.numeric import round_half_away
-
-    cand_ids = set(cands["doc_a"]) | set(cands["doc_b"])
-    sets = candidate_shingle_sets(sf_dir, cand_ids, shingle_n)
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for a, b in zip(cands["doc_a"], cands["doc_b"]):
-        sa, sb = sets[int(a)], sets[int(b)]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        j = inter / (sa.size + sb.size - inter)
-        if j >= threshold:
-            out["doc_a"].append(int(a))
-            out["doc_b"].append(int(b))
-            out["jaccard"].append(float(round_half_away(j, 4)))
-    return pd.DataFrame(out).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------- dedup application (CC)
@@ -491,16 +604,29 @@ def dedup_keep_canonical(
     ``join`` + ``groupby().min``, see ``pipelines.cc``), keeping the
     smallest doc_id of each component.  Output equals the previous
     driver-side union-find (property-tested).  Returns
-    ``(doc_id, canonical, keep)`` for all docs."""
+    ``(doc_id, canonical, keep)`` for all docs.
+
+    The pair Dataset streams straight into ``cc.connected_components`` —
+    no stage between LSH signing and the final node→root map collects more
+    than the (bounded) label table to the driver."""
     from . import cc
 
     if method == "minhash":
-        pairs = minhash_lsh_pairs(sf_dir, **kwargs)[["doc_a", "doc_b"]]
+        pairs = minhash_lsh_pairs_ds(sf_dir, **kwargs)
     elif method == "simhash":
-        pairs = simhash_pairs(sf_dir, **kwargs)[["doc_a", "doc_b"]]
+        pairs = simhash_pairs_ds(sf_dir, **kwargs)
     else:
         raise ValueError(f"unknown method {method!r}")
-    comp = cc.components_pandas(pairs)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return pa.table({"a": t["doc_a"], "b": t["doc_b"]})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    comp = cc.to_pandas_cc(cc.connected_components(edges))
     return _apply_roots(sf_dir, comp)
 
 
@@ -594,10 +720,10 @@ def embedding_neardup_pairs(
     return ds.map_batches(Block, batch_format="pandas", batch_size=512, concurrency=(1, 8))
 
 
-def embedding_neardup_pairs_lsh(
+def embedding_neardup_pairs_lsh_ds(
     sf_dir: str, threshold: float = 0.4, n_tables: int = 12, n_bits: int = 4,
     n_buckets: int = 64, seed: int = 33,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     replace the full-matrix broadcast of ``embedding_neardup_pairs``.
 
@@ -682,16 +808,22 @@ def embedding_neardup_pairs_lsh(
                      concurrency=(1, 8))
         .groupby("kb")
         .map_groups(verify_bucket, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pd.DataFrame(
-            {"vec_a": pd.Series([], dtype="int64"),
-             "vec_b": pd.Series([], dtype="int64"),
-             "cosine": pd.Series([], dtype="float64")}
-        )
-    from ..functions.numeric import round_half_away
+    deduped = _dedupe_pairs(pairs, ("vec_a", "vec_b"), "cosine", "max")
 
-    out = pairs.groupby(["vec_a", "vec_b"], as_index=False)["cosine"].max()
-    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 4)
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    def round_cos(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.numeric import round_half_away
+
+        if len(df):
+            df["cosine"] = round_half_away(df["cosine"].to_numpy(), 4)
+        return df
+
+    return deduped.map_batches(round_cos, batch_format="pandas")
+
+
+def embedding_neardup_pairs_lsh(sf_dir: str, **kwargs) -> pd.DataFrame:
+    """Collected face of :func:`embedding_neardup_pairs_lsh_ds`."""
+    return _collect_pairs(
+        embedding_neardup_pairs_lsh_ds(sf_dir, **kwargs),
+        {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
