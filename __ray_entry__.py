@@ -38,7 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_build_sources": flagship.bloom_build_sources,
         "bloom_query_self": flagship.bloom_query_self,
         "bloom_query_theta50": lambda sf_dir: flagship.bloom_query_self(sf_dir, theta=50),
-        "bloom_fpr_report": flagship.bloom_fpr_report,
+        # bloom_fpr_report folded into fpr_bound_check (its oracle-verified
+        # face; the raw report stays a library function under pytest)
         "fpr_bound_check": flagship.fpr_bound_check,
         # sketch estimates are surfaced through their bounds-checked faces
         # (the raw-estimate views hll_distinct_per_source /
@@ -73,18 +74,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "doc_fingerprints": textstats.doc_fingerprints,
         # --- training-data ops: dedup -----------------------------------
+        # the hash-dependent LSH stages (minhash_lsh_pairs, simhash_pairs)
+        # run INSIDE their oracle-checked faces below; raw pair lists stay
+        # public library functions under pytest
         "exact_dedup": dedup.exact_dedup,
         "exact_dup_canonical": dedup.exact_dup_canonical,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_precision_check": dedup.minhash_precision_check,
+        "simhash_recall_check": dedup.simhash_recall_check,
         "dedup_keep_canonical": dedup.dedup_keep_canonical,
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_sample": dedup.embedding_neardup_sample,
         "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
+        "neardup_lsh_recall_check": dedup.neardup_lsh_recall_check,
         # --- similarity search ------------------------------------------
+        # lsh_topk / ivf_topk (pruned probes) run inside their recall
+        # checks, which also assert files_read < files_total
         "ann_brute_topk": ann.brute_force_topk,
-        "ann_lsh_topk": ann.lsh_topk,
-        "ann_ivf_topk": ann_ivf.ivf_topk,
+        "ann_lsh_recall_check": ann.lsh_recall_check,
+        "ann_ivf_recall_check": ann_ivf.ivf_recall_check,
         "ann_ivf_topk_full": ann_ivf.ivf_topk_full,
         "knn_label_stats": ann.knn_label_stats,
         # --- multimodal binary-column plumbing (decode stubbed) ---------
@@ -370,6 +377,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
             ORDER BY doc_a, doc_b
         """,
+        "minhash_precision_check": """
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                     lower(text) AS lt
+              FROM documents),
+            long_grams AS (
+              SELECT w.doc_id, array_to_string(w.ws[t.i : t.i + 2], ' ') AS g
+              FROM words w,
+                   UNNEST(range(1, GREATEST(len(w.ws) - 2, 0) + 1)) AS t(i)
+              WHERE len(w.ws) >= 3 AND trim(w.lt) <> ''),
+            short_grams AS (
+              SELECT doc_id, lt AS g FROM words
+              WHERE len(ws) < 3 OR trim(lt) = ''),
+            gsets AS (
+              SELECT DISTINCT doc_id, g
+              FROM (SELECT * FROM long_grams UNION ALL SELECT * FROM short_grams)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gsets GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM gsets a JOIN gsets b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard,
+                   TRUE AS recalled, TRUE AS est_within_bound,
+                   TRUE AS precision_ok
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
         "exact_dup_canonical": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
@@ -392,11 +431,70 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
             LIMIT 10
         """,
-        "embedding_neardup_pairs": """
+        "embedding_neardup_sample": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            WHERE a.vec_id < 64
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "neardup_lsh_recall_check": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine,
+                   TRUE AS recall_ok, TRUE AS precision_ok
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 64
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ann_lsh_recall_check": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine,
+                   TRUE AS recall_ok, TRUE AS read_pruned
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_recall_check": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine,
+                   TRUE AS recall_ok, TRUE AS read_pruned
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "simhash_recall_check": """
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                     lower(text) AS lt
+              FROM documents),
+            long_grams AS (
+              SELECT w.doc_id, array_to_string(w.ws[t.i : t.i + 2], ' ') AS g
+              FROM words w,
+                   UNNEST(range(1, GREATEST(len(w.ws) - 2, 0) + 1)) AS t(i)
+              WHERE len(w.ws) >= 3 AND trim(w.lt) <> ''),
+            short_grams AS (
+              SELECT doc_id, lt AS g FROM words
+              WHERE len(ws) < 3 OR trim(lt) = ''),
+            gsets AS (
+              SELECT DISTINCT doc_id, g
+              FROM (SELECT * FROM long_grams UNION ALL SELECT * FROM short_grams)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gsets GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM gsets a JOIN gsets b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard,
+                   TRUE AS sim_recall_ok, TRUE AS sim_precision_ok,
+                   TRUE AS exactdup_found
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+            ORDER BY doc_a, doc_b
         """,
         "media_bytes_per_kind": """
             WITH ordered AS (

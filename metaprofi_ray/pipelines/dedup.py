@@ -558,6 +558,148 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------- bound-check faces
+def minhash_precision_check(
+    sf_dir: str, est_threshold: float = 0.5, exact_threshold: float = 0.8,
+    bound: float = 0.25,
+) -> pd.DataFrame:
+    """Bound-check face of the MinHash-LSH stage (the HLL/CMS pattern):
+    rows are the EXACT n-gram-Jaccard ≥ ``exact_threshold`` pairs — fully
+    SQL-reproducible — plus three booleans the DuckDB oracle pins TRUE:
+
+    - ``recalled``: the LSH candidate stage surfaced this true near-dup
+      pair (16×4 banding ⇒ P(miss at J=0.8) < 1e-3; deterministic for the
+      fixed seeds + corpus the driver replays);
+    - ``est_within_bound``: |MinHash estimate − exact J| ≤ ``bound``
+      (64 perms ⇒ se ≈ 0.06; bound is ~4σ);
+    - ``precision_ok``: EVERY pair the LSH stage emitted at
+      ``est_threshold`` has exact J ≥ est_threshold − bound (the
+      banding-implied precision floor).
+    """
+    est = minhash_lsh_pairs(sf_dir, jaccard_threshold=est_threshold)
+    # exact J for every LSH candidate (threshold=0 keeps them all); the
+    # est pairs are a subset of the candidates (same signatures, lower cut)
+    exact_all = ngram_jaccard_pairs(sf_dir, threshold=0.0)
+    exact_map = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(
+            exact_all["doc_a"], exact_all["doc_b"], exact_all["jaccard"]
+        )
+    }
+    est_map = {
+        (int(a), int(b)): float(e)
+        for a, b, e in zip(est["doc_a"], est["doc_b"], est["est_jaccard"])
+    }
+    precision_ok = all(
+        exact_map.get(p, 0.0) >= est_threshold - bound for p in est_map
+    )
+    high = exact_all[exact_all["jaccard"] >= exact_threshold].reset_index(
+        drop=True
+    )
+    recalled = [
+        (int(a), int(b)) in est_map or exact_map[(int(a), int(b))] > 0.999
+        for a, b in zip(high["doc_a"], high["doc_b"])
+    ]
+    # identical docs (J=1) always collide in every band, so est=1 ≥ any cut;
+    # near-identical pairs must appear in the est set directly
+    est_within = [
+        abs(est_map.get((int(a), int(b)), 1.0) - float(j)) <= bound
+        for a, b, j in zip(high["doc_a"], high["doc_b"], high["jaccard"])
+    ]
+    out = high.copy()
+    out["recalled"] = bool(all(recalled))
+    out["est_within_bound"] = bool(all(est_within))
+    out["precision_ok"] = bool(precision_ok)
+    return out
+
+
+def _exact_dup_pairs_ds(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """All (doc_a < doc_b) pairs of byte-identical texts — md5 groups
+    expanded inside coarse-bucketed ``map_groups`` (check-face scale; the
+    production path uses star edges, see ``exact_dup_canonical``)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").values,
+                "text_md5": md5s,
+                "kb": np.array(
+                    [int(m[:8], 16) % n_buckets for m in md5s], dtype=np.int64
+                ),
+            }
+        )
+
+    def pairs_in(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": []}
+        for _, grp in g.groupby("text_md5", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = np.sort(grp["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out["doc_a"].extend(ids[ii].tolist())
+            out["doc_b"].extend(ids[jj].tolist())
+        return pd.DataFrame(out).astype({"doc_a": "int64", "doc_b": "int64"})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(pairs_in, batch_format="pandas")
+    )
+
+
+def simhash_recall_check(
+    sf_dir: str, exact_threshold: float = 0.8, recall_bound: float = 0.5,
+    precision_floor: float = 0.5,
+) -> pd.DataFrame:
+    """Bound-check face of ``simhash_pairs``: rows are the EXACT
+    n-gram-Jaccard ≥ ``exact_threshold`` pairs (SQL-reproducible) plus
+    booleans the oracle pins TRUE:
+
+    - ``sim_recall_ok``: SimHash (Hamming ≤ 3) surfaced at least
+      ``recall_bound`` of the true near-dup pairs;
+    - ``sim_precision_ok``: every SimHash pair has exact Jaccard ≥
+      ``precision_floor`` (checked against the full candidate Jaccard
+      table, so a hash collision emitting an unrelated pair fails);
+    - ``exactdup_found``: every byte-identical pair (identical SimHash by
+      construction — zero hash luck) surfaced at Hamming 0.
+    """
+    sp = simhash_pairs(sf_dir)
+    exact_all = ngram_jaccard_pairs(sf_dir, threshold=0.0)
+    exact_map = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(
+            exact_all["doc_a"], exact_all["doc_b"], exact_all["jaccard"]
+        )
+    }
+    high = exact_all[exact_all["jaccard"] >= exact_threshold].reset_index(
+        drop=True
+    )
+    sp_set = set(zip(sp["doc_a"].astype(int), sp["doc_b"].astype(int)))
+    high_set = set(zip(high["doc_a"].astype(int), high["doc_b"].astype(int)))
+    recall = len(high_set & sp_set) / max(len(high_set), 1)
+    precision_ok = all(
+        exact_map.get(p, 0.0) >= precision_floor for p in sp_set
+    )
+    zero = {
+        (int(a), int(b))
+        for a, b, h in zip(sp["doc_a"], sp["doc_b"], sp["hamming"])
+        if int(h) == 0
+    }
+    dup = _collect_pairs(
+        _exact_dup_pairs_ds(sf_dir), {"doc_a": "int64", "doc_b": "int64"}
+    )
+    exactdup_found = all(
+        (int(a), int(b)) in zero for a, b in zip(dup["doc_a"], dup["doc_b"])
+    )
+    out = high.copy()
+    out["sim_recall_ok"] = bool(recall >= recall_bound)
+    out["sim_precision_ok"] = bool(precision_ok)
+    out["exactdup_found"] = bool(exactdup_found)
+    return out
+
+
 # ------------------------------------------- dedup application (CC)
 def label_canonical_dataset(sf_dir: str, comp: pd.DataFrame) -> rd.Dataset:
     """Broadcast the (small — bounded by the pair graph) node→root map and
@@ -718,6 +860,104 @@ def embedding_neardup_pairs(
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     return ds.map_batches(Block, batch_format="pandas", batch_size=512, concurrency=(1, 8))
+
+
+def embedding_neardup_sample(
+    sf_dir: str, threshold: float = 0.4, sample_max_id: int = 64
+) -> rd.Dataset:
+    """SQL-oracle face of embedding near-dup WITHOUT the full-matrix
+    broadcast (VERDICT r2 #8): only the fixed, BOUNDED sample
+    (``vec_id < sample_max_id`` — constant-size at any corpus scale) is
+    broadcast; the corpus streams against it.  Emits every near-dup pair
+    with its smaller endpoint in the sample, each exactly once
+    (sample×sample pairs only from the smaller streamed side).  The
+    full-broadcast variant lives on in tests as the exact reference for
+    the LSH path."""
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    s_tbl = pq.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", sample_max_id)],
+    )
+    s_ids = np.asarray(s_tbl["vec_id"].to_pylist(), dtype=np.int64)
+    s_mat = np.asarray(s_tbl["embedding"].to_pylist(), dtype=np.float64)
+    s_mat /= np.maximum(np.linalg.norm(s_mat, axis=1, keepdims=True), 1e-12)
+    bref = ray.put((s_mat, s_ids))
+
+    class Block:
+        def __init__(self):
+            self.mat, self.ids = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.numeric import round_half_away
+
+            EMPTY = pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+            if len(df) == 0:
+                return EMPTY
+            q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ self.mat.T
+            qa = df["vec_id"].to_numpy().astype(np.int64)
+            ii, jj = np.nonzero(sims >= threshold)
+            sb = self.ids[jj]
+            sa = qa[ii]
+            # each unordered pair once: streamed non-sample rows always pair
+            # with the (smaller) sample id; sample×sample pairs emit only
+            # from the smaller streamed side
+            keep = (sa >= sample_max_id) | (sa < sb)
+            sa, sb, cos = sa[keep], sb[keep], sims[ii, jj][keep]
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            nz = lo != hi  # drop self-pairs
+            return pd.DataFrame(
+                {
+                    "vec_a": lo[nz],
+                    "vec_b": hi[nz],
+                    "cosine": round_half_away(cos[nz], 4),
+                }
+            )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        Block, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+
+def neardup_lsh_recall_check(
+    sf_dir: str, threshold: float = 0.4, sample_max_id: int = 64,
+    recall_bound: float = 0.6,
+) -> pd.DataFrame:
+    """Bound-check face of ``embedding_neardup_pairs_lsh``: rows are the
+    exact sample-restricted near-dup pairs (SQL-reproducible via
+    ``embedding_neardup_sample``'s oracle) plus constants the oracle pins
+    TRUE — ``recall_ok`` (the LSH variant recovered ≥ ``recall_bound`` of
+    them; deterministic for the fixed hyperplane seed + corpus) and
+    ``precision_ok`` (every sample-restricted LSH pair is in the exact set
+    with the identical rounded cosine — in-bucket verification makes this
+    exact by construction)."""
+    exact = _collect_pairs(
+        embedding_neardup_sample(sf_dir, threshold, sample_max_id),
+        {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
+    lsh = embedding_neardup_pairs_lsh(sf_dir, threshold=threshold)
+    lsh_s = lsh[lsh["vec_a"] < sample_max_id]
+    e_map = dict(zip(zip(exact["vec_a"], exact["vec_b"]), exact["cosine"]))
+    l_map = dict(zip(zip(lsh_s["vec_a"], lsh_s["vec_b"]), lsh_s["cosine"]))
+    recall = len(set(e_map) & set(l_map)) / max(len(e_map), 1)
+    precision_ok = all(
+        p in e_map and e_map[p] == c for p, c in l_map.items()
+    )
+    out = exact.copy()
+    out["recall_ok"] = bool(recall >= recall_bound)
+    out["precision_ok"] = bool(precision_ok)
+    return out
 
 
 def embedding_neardup_pairs_lsh_ds(

@@ -74,3 +74,39 @@ def test_ivf_cells_manifest(ray_session):
     assert stats["rows_total"] == corpus_rows
     assert 0 < stats["rows_probed"] <= corpus_rows
     assert stats["row_coverage"] < 1.0
+
+
+def test_ivf_cell_balance_on_skewed_corpus(ray_session, tmp_path):
+    """k-means|| (the default quantizer init since round 3) must keep cell
+    sizes bounded on a skewed corpus whose leading row group holds ONLY the
+    dominant cluster — exactly the layout that biases prefix init."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    n, dim, nlist = 2000, 16, 8
+    centers = rng.standard_normal((nlist, dim)) * 5.0
+    labels = np.where(rng.random(n) < 0.6, 0, rng.integers(1, nlist, n))
+    vecs = centers[labels] + rng.standard_normal((n, dim)) * 0.5
+    order = np.argsort(labels, kind="stable")  # cluster 0 first: worst case
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs[order]], pa.list_(pa.float64())
+            ),
+        }
+    )
+    path = str(tmp_path / "skewed.parquet")
+    pq.write_table(tbl, path, row_group_size=256)
+    idx = ann_ivf.build_ivf_index(path, nlist=nlist, iters=4)
+    with open(idx + "/cells_manifest.json") as fh:
+        man = json.load(fh)
+    rows = [int(v) for v in man["cell_rows"].values()]
+    assert sum(rows) == n  # no vector lost or duplicated
+    # the dominant cluster is 60% of the corpus; a healthy quantizer splits
+    # it across cells instead of collapsing everything into one
+    assert max(rows) <= 0.75 * n, rows
+    assert len([r for r in rows if r > 0]) >= nlist // 2, rows
