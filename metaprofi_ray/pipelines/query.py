@@ -83,8 +83,9 @@ def query_index_streaming(
     banks exceed worker memory (reference configs reach m = 4×10^10).
 
     Equivalent results to ``query_index`` (property-tested); shuffle volume
-    is queries × sources_hit × shards_touched small mask rows, independent
-    of m.  See ``stages.probe_sharded`` for the protocol.
+    is one small mask row per (query, source) pair constrained by each bank
+    batch — never the query × source cross product — independent of m.
+    See ``stages.probe_sharded`` for the protocol.
     """
     import os
 
@@ -109,10 +110,23 @@ def query_index_streaming(
             source_shards.setdefault(s, set()).add(sid)
     source_shards_ref = ray.put(source_shards)
     banks = rd.read_parquet(banks_dir, columns=["source", "shard_id", "bits"])
+    # a source whose shard rows scatter across B probe batches emits B×
+    # the mask rows of a co-located one; bank files are written (mostly)
+    # source-contiguous, so an ORDER-PRESERVING coalesce of adjacent small
+    # blocks (repartition without shuffle — no all-to-all) restores
+    # co-location.  Keep enough blocks for the actor pool to parallelize.
+    import glob as _glob
+
+    n_files = len(_glob.glob(os.path.join(banks_dir, "*.parquet")))
+    pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    target = max(2 * pool_max, n_files // 4)
+    if n_files > target:
+        banks = banks.repartition(target)
     masks = banks.map_batches(
         ShardProber,
         fn_constructor_args=(probe_ref,),
         batch_format="pyarrow",
+        batch_size=None,
         concurrency=concurrency,
         num_cpus=1,
     )

@@ -21,8 +21,11 @@ Protocol:
      remaining per-batch masks; popcount of the final mask = windows
      found; threshold ``ceil(n_wins·θ/100)`` as always.
 
-Shuffle volume: queries × sources_hit mask rows per bank batch —
-independent of m, of shard count, and of corpus size.
+Shuffle volume: one mask row per (query, source) pair actually
+CONSTRAINED by a shard in the batch (vacuous pairs are omitted — a pair
+untouched by every batch can never be a hit because the reduce clears all
+its windows via the missing-shard correction) — independent of m, of
+shard count, and of corpus size, and never the S×Q cross product.
 """
 
 from __future__ import annotations
@@ -111,6 +114,11 @@ class QueryProbeSet:
                 "local_sorted": loc[order],
                 "win_seg": win_starts,
                 "flat_pos": flat_pos,
+                # queries constrained by this shard: the prober emits mask
+                # rows ONLY for these (unconstrained pairs are vacuous
+                # all-ones under AND and would blow the reduce volume up to
+                # S×Q per batch — ADVICE r2)
+                "q_constrained": np.unique(w_query),
             }
 
 
@@ -183,8 +191,8 @@ class ShardProber:
         if valid.size == 0:
             return pa.table(
                 {
-                    "query_id": pa.array([], pa.string()),
-                    "source": pa.array([], pa.string()),
+                    "qi": pa.array([], pa.int32()),
+                    "si": pa.array([], pa.uint64()),
                     "mask": pa.array([], pa.large_binary()),
                     "kb": pa.array([], pa.int32()),
                 }
@@ -196,8 +204,15 @@ class ShardProber:
         src_names = sorted({str(s) for s in sources[valid]})
         src_slot = {s: i for i, s in enumerate(src_names)}
         S = len(src_names)
+        Qn = probe.n_queries
         L = probe.g_template.size
         mat = np.broadcast_to(probe.g_template, (S, L)).copy()
+        # which (source, query) pairs this batch actually constrains —
+        # only those emit rows (a pair with no probes in the batch's
+        # shards is vacuous under AND; a pair with no constrained shard
+        # ANYWHERE is cleared to zero windows by the reduce's
+        # missing-shard correction and can never be a hit)
+        constrained = np.zeros((S, Qn), dtype=bool)
         for r in valid:
             plan = probe.shard_plan[int(shard_ids[r])]
             buf = bits_col[int(r)].as_py()
@@ -209,6 +224,7 @@ class ShardProber:
             ).astype(bool)
             row = src_slot[str(sources[r])]
             mat[row, plan["flat_pos"]] &= win_ok
+            constrained[row, plan["q_constrained"]] = True
         packed = np.packbits(mat, axis=1, bitorder="little")
         LB = packed.shape[1]
         byte_off = probe.g_byte_off
@@ -224,63 +240,43 @@ class ShardProber:
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(packed.tobytes())],
         )
+        # NUMERIC pair keys only — query index + 64-bit source hash — so
+        # millions of mask rows shuffle as fixed-width columns; the reduce
+        # maps back to names via the broadcast probe/source tables.  String
+        # columns here were the round-2 throughput ceiling (building and
+        # re-materializing S×Q Python strings per batch).
         shash = np.array([_str_hash64(s) for s in src_names], dtype=np.uint64)
         kb = (
             (probe.qhash[None, :] ^ shash[:, None])
             % np.uint64(N_REDUCE_BUCKETS)
         ).astype(np.int32).ravel()
-        return pa.table(
+        full = pa.table(
             {
-                "query_id": pa.array(np.tile(probe.qid_arr, S), pa.string()),
-                "source": pa.array(
-                    np.repeat(np.array(src_names, dtype=object), Q),
-                    pa.string(),
-                ),
+                "qi": pa.array(np.tile(np.arange(Q, dtype=np.int32), S)),
+                "si": pa.array(np.repeat(shash, Q)),
                 "mask": mask_arr,
                 "kb": pa.array(kb, pa.int32()),
             }
         )
+        # drop vacuous (source, query) rows: Arrow filter copies only the
+        # kept mask slices, so reduce-side volume is pairs-constrained,
+        # not S×Q per batch
+        return full.filter(pa.array(constrained.ravel()))
 
 
 def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
     """Build the groupby(kb) finalizer: within one coarse bucket, iterate the
     (query, source) pairs IN-PROCESS (no per-pair Ray dispatch), AND each
     pair's shard masks (clearing windows probed in shards the source has NO
-    bank row for), count the query's windows, apply the theta threshold."""
+    bank row for), count the query's windows, apply the theta threshold.
+
+    The mask rows carry numeric keys only (``qi`` query index, ``si``
+    64-bit source hash); names are restored here from the broadcast
+    tables.  Mask bytes are gathered straight out of the Arrow value
+    buffer with offset arithmetic — no per-row Python objects."""
 
     # ray.get once per WORKER (closure cache), not once per group
     cache: dict = {}
-
-    def _finalize_pair(
-        probe: QueryProbeSet,
-        source_shards: dict[str, set[int]],
-        qid: str,
-        source: str,
-        masks: list[bytes],
-        out: dict,
-    ) -> None:
-        acc = np.frombuffer(masks[0], dtype=np.uint8).copy()
-        for m in masks[1:]:
-            acc &= np.frombuffer(m, dtype=np.uint8)
-        q = probe.query_index[qid]
-        lo = int(probe.win_offset[q])
-        nw = int(probe.wins_per_query[q])
-        if nw == 0:
-            return
-        bits = np.unpackbits(acc, bitorder="little")[:nw].astype(bool)
-        have = source_shards.get(source, set())
-        for sid in probe.per_shard:
-            if sid not in have:
-                bits &= ~probe.shard_win_mask[sid][lo : lo + nw]
-        found = int(bits.sum())
-        min_wins = max(1, math.ceil(nw * theta / 100))
-        if found < min_wins:
-            return
-        out["query_id"].append(qid)
-        out["source"].append(source)
-        out["wins_found"].append(found)
-        out["n_wins"].append(nw)
-        out["fraction"].append(round(found * 100.0 / nw, 2))
 
     POP = np.array(
         [bin(i).count("1") for i in range(256)], dtype=np.int64
@@ -291,92 +287,119 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
             return HITS_SCHEMA.empty_table()
         if "probe" not in cache:
             cache["probe"] = ray.get(probe_ref)
-            cache["source_shards"] = ray.get(source_shards_ref)
+            src_shards: dict[str, set[int]] = ray.get(source_shards_ref)
+            probed = set(cache["probe"].per_shard)
+            cache["hash2src"] = {
+                int(_str_hash64(s)): s for s in src_shards
+            }
+            # per source-hash: complete = has a bank row for every probed
+            # shard (incomplete sources need the per-pair missing-shard
+            # correction: a missing row means ABSENT bits, not vacuous)
+            cache["complete"] = {
+                int(_str_hash64(s)): not (probed - sh)
+                for s, sh in src_shards.items()
+            }
+            cache["missing"] = {
+                int(_str_hash64(s)): probed - sh
+                for s, sh in src_shards.items()
+            }
         probe: QueryProbeSet = cache["probe"]
-        source_shards: dict[str, set[int]] = cache["source_shards"]
-        import pandas as pd
+        hash2src = cache["hash2src"]
+        complete = cache["complete"]
+        missing = cache["missing"]
 
-        qids = np.asarray(group["query_id"].to_pylist(), dtype=object)
-        srcs = np.asarray(group["source"].to_pylist(), dtype=object)
-        masks = group["mask"].to_pylist()
-        # pair segmentation: factorize + stable sort, no Python dict
-        qc = pd.factorize(qids)[0].astype(np.int64)
-        sc, s_uniques = pd.factorize(srcs)
-        pair = qc * (sc.max() + 1) + sc
-        order = np.argsort(pair, kind="stable")
-        pair_sorted = pair[order]
-        seg = np.concatenate(
-            [[0], np.flatnonzero(np.diff(pair_sorted)) + 1]
+        qi = group["qi"].combine_chunks().to_numpy(zero_copy_only=False)
+        si = group["si"].combine_chunks().to_numpy(zero_copy_only=False)
+        mask_col = group["mask"].combine_chunks()
+        o_buf = mask_col.buffers()[1]
+        off = np.frombuffer(o_buf, dtype=np.int64)[
+            mask_col.offset : mask_col.offset + len(mask_col) + 1
+        ]
+        data_buf = mask_col.buffers()[2]
+        vals = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.empty(0, dtype=np.uint8)
         )
+        lens = off[1:] - off[:-1]
+
+        # pair segmentation: lexsort on the numeric keys
+        order = np.lexsort((qi, si))
+        qi_s = qi[order]
+        si_s = si[order]
+        change = (np.diff(qi_s) != 0) | (np.diff(si_s) != 0)
+        seg = np.concatenate([[0], np.flatnonzero(change) + 1])
+        seg_end = np.concatenate([seg[1:], [len(order)]])
         first = order[seg]  # one representative row per pair
-        lens = np.fromiter((len(m) for m in masks), dtype=np.int64,
-                           count=len(masks))
-        # sources with a missing probed shard need the slow per-pair
-        # correction (a missing bank row means absent bits, not vacuous)
-        probed = set(probe.per_shard)
-        src_incomplete = np.array(
-            [bool(probed - source_shards.get(s, set())) for s in s_uniques],
-            dtype=bool,
-        )
+
         out: dict[str, list] = {
             "query_id": [], "source": [], "wins_found": [],
             "n_wins": [], "fraction": [],
         }
+
+        def finalize_slow(p: int) -> None:
+            rows = order[seg[p] : seg_end[p]]
+            r0 = rows[0]
+            acc = vals[off[r0] : off[r0] + lens[r0]].copy()
+            for r in rows[1:]:
+                acc &= vals[off[r] : off[r] + lens[r]]
+            q = int(qi[r0])
+            lo = int(probe.win_offset[q])
+            nw = int(probe.wins_per_query[q])
+            if nw == 0:
+                return
+            bits = np.unpackbits(acc, bitorder="little")[:nw].astype(bool)
+            for sid in missing[int(si[r0])]:
+                bits &= ~probe.shard_win_mask[sid][lo : lo + nw]
+            found = int(bits.sum())
+            if found < max(1, math.ceil(nw * theta / 100)):
+                return
+            out["query_id"].append(probe.qid_arr[q])
+            out["source"].append(hash2src[int(si[r0])])
+            out["wins_found"].append(found)
+            out["n_wins"].append(nw)
+            out["fraction"].append(round(found * 100.0 / nw, 2))
+
         arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        src_complete = np.fromiter(
+            (complete[int(s)] for s in si_s[seg]), dtype=bool, count=len(seg)
+        )
         # process pairs grouped by mask byte length: stack + one
         # elementwise-AND reduceat + one popcount per group
         seg_lens = lens[first]
         for L in np.unique(seg_lens):
             sel_pairs = np.flatnonzero(seg_lens == L)
-            fast = sel_pairs[~src_incomplete[sc[first[sel_pairs]]]]
-            slow = sel_pairs[src_incomplete[sc[first[sel_pairs]]]]
-            for p in slow:
-                rows = order[seg[p] : seg[p + 1] if p + 1 < len(seg) else None]
-                _finalize_pair(
-                    probe, source_shards, qids[rows[0]], srcs[rows[0]],
-                    [masks[r] for r in rows], out,
-                )
+            fast = sel_pairs[src_complete[sel_pairs]]
+            for p in sel_pairs[~src_complete[sel_pairs]]:
+                finalize_slow(p)
             if fast.size == 0:
                 continue
+            counts = seg_end[fast] - seg[fast]
             row_idx = np.concatenate(
-                [
-                    order[seg[p] : (seg[p + 1] if p + 1 < len(seg) else len(order))]
-                    for p in fast
-                ]
+                [order[seg[p] : seg_end[p]] for p in fast]
             )
-            counts = np.array(
-                [
-                    (seg[p + 1] if p + 1 < len(seg) else len(order)) - seg[p]
-                    for p in fast
-                ],
-                dtype=np.int64,
-            )
-            stacked = np.frombuffer(
-                b"".join(masks[r] for r in row_idx), dtype=np.uint8
-            ).reshape(-1, int(L))
+            # zero-copy gather out of the Arrow value buffer
+            gather = off[row_idx][:, None] + np.arange(int(L))[None, :]
+            stacked = vals[gather]
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             final = np.bitwise_and.reduceat(stacked, starts, axis=0)
             found = POP[final].sum(axis=1)
             rep = first[fast]
-            q_idx = np.array(
-                [probe.query_index[q] for q in qids[rep]], dtype=np.int64
-            )
-            nw = probe.wins_per_query[q_idx]
+            nw = probe.wins_per_query[qi[rep].astype(np.int64)]
             min_wins = np.maximum(
                 1, np.ceil(nw * theta / 100).astype(np.int64)
             )
             hit = found >= min_wins
-            arrays.append(
-                (rep[hit], found[hit], nw[hit])
-            )
+            arrays.append((rep[hit], found[hit], nw[hit]))
+
         qid_out: list = list(out["query_id"])
         src_out: list = list(out["source"])
         wins_out: list = list(out["wins_found"])
         nw_out: list = list(out["n_wins"])
         frac_out: list = list(out["fraction"])
         for rep, found, nw in arrays:
-            qid_out.extend(qids[rep])
-            src_out.extend(srcs[rep])
+            qid_out.extend(probe.qid_arr[qi[rep].astype(np.int64)])
+            src_out.extend(hash2src[int(s)] for s in si[rep])
             wins_out.extend(found.tolist())
             nw_out.extend(nw.tolist())
             frac_out.extend(
