@@ -21,31 +21,54 @@ import pyarrow as pa
 import ray
 
 from ..sources.io import BankIndex
-from ..stages.probe import HITS_SCHEMA, probe_batch
+from ..stages.probe import HITS_SCHEMA, SlicePresenceCache, probe_batch
 
 
 @ray.remote
 class _ProbeActor:
-    def __init__(self, index_ref):
+    def __init__(self, index_ref, slice_cache_entries: int = 0):
         self.index: BankIndex = index_ref
+        # per-actor probed-slice memo (the reference's LMDB slice-cache
+        # analogue): overlapping query sets reuse window presence rows.
+        # Safe because the actor is bound to ONE immutable index.
+        self.slice_cache = (
+            SlicePresenceCache(slice_cache_entries)
+            if slice_cache_entries > 0
+            else None
+        )
 
     def probe(self, table: pa.Table, theta: int) -> pa.Table:
-        return probe_batch(table, self.index, theta)
+        return probe_batch(table, self.index, theta, cache=self.slice_cache)
+
+    def slice_cache_stats(self) -> dict:
+        return self.slice_cache.stats() if self.slice_cache else {}
 
 
 class QueryService:
     """Hold a warm probe pool for an index dir; ``query()`` as many times
     as needed; ``close()`` (or ``with``) tears the actors down.
 
-    Repeated identical requests are served from a driver-side LRU keyed by
-    (query-table content, theta) — the analogue of the reference's LMDB
-    query-slice cache (lmdb_kv_store.py), valid because a service instance
-    is bound to one immutable index."""
+    Two cache levels mirror the reference's LMDB machinery
+    (lmdb_kvstore.py): a driver-side LRU over whole requests (identical
+    query table + theta → cached hits table), and a per-actor
+    ``SlicePresenceCache`` over probed WINDOW slices — so requests that
+    merely OVERLAP (share windows, not whole tables) still skip the bank
+    bit tests for the shared part.  Both are valid because a service
+    instance is bound to one immutable index.
 
-    def __init__(self, index_dir: str, n_actors: int = 4, cache_size: int = 64):
+    Note on splitting: requests are split across actors by row range, so
+    a window's cache entry lives in the actor that probed it; repeated
+    requests with the same table hit the same actors and reuse entries.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 4, cache_size: int = 64,
+                 slice_cache_entries: int = 1 << 20):
         index = BankIndex.load(index_dir)
         index_ref = ray.put(index)
-        self.actors = [_ProbeActor.remote(index_ref) for _ in range(n_actors)]
+        self.actors = [
+            _ProbeActor.remote(index_ref, slice_cache_entries)
+            for _ in range(n_actors)
+        ]
         from collections import OrderedDict
 
         self._cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
@@ -100,17 +123,49 @@ class QueryService:
             return hit
         self.cache_misses += 1
         k = len(self.actors)
-        bounds = np.linspace(0, n, min(k, n) + 1).astype(int)
-        futs = [
-            a.probe.remote(queries.slice(int(lo), int(hi - lo)), theta)
-            for a, lo, hi in zip(self.actors, bounds[:-1], bounds[1:])
-            if hi > lo
-        ]
+        if k == 1 or n <= 1:
+            futs = [self.actors[0].probe.remote(queries, theta)]
+        else:
+            # STABLE routing: a query goes to hash(query_id) % k, not to a
+            # row-range chunk — so across overlapping requests the same
+            # query always lands on the actor holding its cached window
+            # slices (row-range splits reshuffle the mapping whenever the
+            # request composition shifts, defeating the slice cache)
+            import hashlib
+
+            qid = queries.column("query_id").to_pylist()
+            route = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(str(q).encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    % k
+                    for q in qid
+                ],
+                dtype=np.int64,
+            )
+            futs = [
+                self.actors[i].probe.remote(
+                    queries.take(pa.array(np.flatnonzero(route == i))), theta
+                )
+                for i in range(k)
+                if (route == i).any()
+            ]
         out = pa.concat_tables(ray.get(futs))
         self._cache[key] = out
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return out
+
+    def slice_cache_stats(self) -> dict:
+        """Aggregated per-actor probed-slice cache stats."""
+        per = ray.get([a.slice_cache_stats.remote() for a in self.actors])
+        agg = {"entries": 0, "hits": 0, "misses": 0}
+        for d in per:
+            for k in agg:
+                agg[k] += d.get(k, 0)
+        return agg
 
     def close(self) -> None:
         for a in self.actors:

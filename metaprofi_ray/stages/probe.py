@@ -47,19 +47,10 @@ HITS_SCHEMA = pa.schema(
 )
 
 
-def probe_batch(
-    batch: pa.Table, index: BankIndex, theta: int, query_col: str = "query_id"
-) -> pa.Table:
-    """Vectorized probe of one query batch against the full bank matrix."""
+def _win_presence(bits: np.ndarray, index: BankIndex) -> np.ndarray:
+    """(n_windows, n_sources) bool: every probe bit of the window present."""
     cfg: SketchConfig = index.cfg
     n_sources = len(index.sources)
-    if batch.num_rows == 0 or n_sources == 0:
-        return HITS_SCHEMA.empty_table()
-    values, starts, row_of_window = batch_windows(batch, cfg.k)
-    n_wins_total = starts.shape[0]
-    if n_wins_total == 0:
-        return HITS_SCHEMA.empty_table()
-    bits = bloom.bits_for_windows(values, starts, cfg)  # (n_wins, h)
     flat = bits.reshape(-1)
     shard_ids = flat // cfg.shard_bits
     local = flat % cfg.shard_bits
@@ -74,7 +65,87 @@ def probe_batch(
             mat, loc // 8, (loc % 8).astype(np.uint8)
         )
     # AND across the h hash probes of each window (A3)
-    win_present = presence.reshape(n_wins_total, cfg.h, n_sources).all(axis=1)
+    return presence.reshape(bits.shape[0], cfg.h, n_sources).all(axis=1)
+
+
+class SlicePresenceCache:
+    """Per-actor memo of probed window slices — the engine's analogue of the
+    reference's LMDB bit-slice cache (search_index.py:316-351,
+    lmdb_kvstore.py:11-238): overlapping QUERY SETS reuse each window's
+    (n_sources) presence row instead of re-testing bank bits.
+
+    Keys are the exact 128-bit (h1, h2) double-hash pair (identical probes
+    ⇔ identical presence — no collision risk at 64+64 bits); values are the
+    presence row packed to ``ceil(n_sources/8)`` bytes.  Bounded FIFO.
+    Valid only against one immutable index (the owner pins one)."""
+
+    def __init__(self, max_entries: int = 1 << 20):
+        self.max_entries = max_entries
+        self.data: dict[int, bytes] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def stats(self) -> dict:
+        return {
+            "entries": len(self.data),
+            "hits": self.hits,
+            "misses": self.misses,
+        }
+
+
+def probe_batch(
+    batch: pa.Table,
+    index: BankIndex,
+    theta: int,
+    query_col: str = "query_id",
+    cache: SlicePresenceCache | None = None,
+) -> pa.Table:
+    """Vectorized probe of one query batch against the full bank matrix.
+    With ``cache``, windows already probed by ANY previous request on this
+    actor reuse their cached presence rows (bit tests run only for cache
+    misses)."""
+    cfg: SketchConfig = index.cfg
+    n_sources = len(index.sources)
+    if batch.num_rows == 0 or n_sources == 0:
+        return HITS_SCHEMA.empty_table()
+    values, starts, row_of_window = batch_windows(batch, cfg.k)
+    n_wins_total = starts.shape[0]
+    if n_wins_total == 0:
+        return HITS_SCHEMA.empty_table()
+    h1, h2 = hashing.hash_windows_2(
+        values, starts, cfg.k, hashing.SEED_H1, hashing.SEED_H2
+    )
+    if cache is None:
+        bits = hashing.double_hash_bits(h1, h2, cfg.h, cfg.m)
+        win_present = _win_presence(bits, index)
+    else:
+        keys = [
+            (int(a) << 64) | int(b) for a, b in zip(h1.tolist(), h2.tolist())
+        ]
+        miss = [i for i, k in enumerate(keys) if k not in cache.data]
+        cache.hits += n_wins_total - len(miss)
+        cache.misses += len(miss)
+        win_present = np.empty((n_wins_total, n_sources), dtype=bool)
+        if miss:
+            mi = np.asarray(miss, dtype=np.int64)
+            bits = hashing.double_hash_bits(h1[mi], h2[mi], cfg.h, cfg.m)
+            fresh = _win_presence(bits, index)
+            win_present[mi] = fresh
+            if len(cache.data) < cache.max_entries:
+                packed = np.packbits(fresh, axis=1, bitorder="little")
+                for j, i in enumerate(miss):
+                    cache.data[keys[i]] = packed[j].tobytes()
+        missset = set(miss)
+        cached_rows = [i for i in range(n_wins_total) if i not in missset]
+        if cached_rows:
+            stacked = np.frombuffer(
+                b"".join(cache.data[keys[i]] for i in cached_rows),
+                dtype=np.uint8,
+            ).reshape(len(cached_rows), -1)
+            unpacked = np.unpackbits(
+                stacked, axis=1, bitorder="little"
+            )[:, :n_sources].astype(bool)
+            win_present[np.asarray(cached_rows, dtype=np.int64)] = unpacked
     # per-query window counts via segment reduction (rows are in order)
     n_rows = batch.num_rows
     seg_starts = np.searchsorted(row_of_window, np.arange(n_rows))

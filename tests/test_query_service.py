@@ -85,3 +85,35 @@ def test_service_cache_slices_do_not_collide(ray_session, tmp_path):
         assert svc.cache_hits == 0 and svc.cache_misses == 2
         expect_b = query_table(idx, queries.slice(1, n - 1), theta=100)
         assert _sorted(b.to_pandas()).equals(_sorted(expect_b.to_pandas()))
+
+
+def test_slice_cache_overlapping_requests(ray_session, tmp_path):
+    """Per-actor probed-slice cache (reference's LMDB slice-cache analogue):
+    requests that OVERLAP without being identical must (a) return exactly
+    the uncached results, (b) register slice-cache hits for the shared
+    windows, (c) get faster once warm."""
+    corpus = generate_corpus(
+        str(tmp_path / "corpus"), n_sources=6, docs_total=900, k=8
+    )
+    cfg = SketchConfig(k=8, h=2, m=1 << 16, shards=4)
+    idx = str(tmp_path / "idx")
+    build_from_parquet(sorted(glob.glob(corpus + "/*.parquet")), cfg, idx)
+    queries = make_queries(corpus, 6)
+    half_a = queries.slice(0, 4)   # shares rows 2-3 with half_b
+    half_b = queries.slice(2, 4)
+    with QueryService(idx, n_actors=1, cache_size=0) as svc:
+        got_a = svc.query(half_a, theta=50)
+        st0 = svc.slice_cache_stats()
+        assert st0["misses"] > 0 and st0["hits"] == 0
+        got_b = svc.query(half_b, theta=50)
+        st1 = svc.slice_cache_stats()
+        assert st1["hits"] > 0, st1  # shared windows reused
+        # parity with the uncached path
+        exp_a = _sorted(query_table(idx, half_a, theta=50).to_pandas())
+        exp_b = _sorted(query_table(idx, half_b, theta=50).to_pandas())
+        assert _sorted(got_a.to_pandas()).equals(exp_a)
+        assert _sorted(got_b.to_pandas()).equals(exp_b)
+        # fully-warm repeat probes only cached slices
+        svc.query(half_b, theta=50)
+        st2 = svc.slice_cache_stats()
+        assert st2["misses"] == st1["misses"], (st1, st2)
