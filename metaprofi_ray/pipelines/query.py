@@ -31,6 +31,7 @@ def query_index(
     theta: int = 100,
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 1024,
+    theta_compat: str = "exact",
 ) -> rd.Dataset:
     """Probe a query Dataset (query_id, tokens) against the index on disk.
 
@@ -61,15 +62,19 @@ def query_index(
     from functools import partial
 
     return queries.map_batches(
-        partial(_probe_task, index_ref=index_ref, theta=theta),
+        partial(_probe_task, index_ref=index_ref, theta=theta,
+                theta_compat=theta_compat),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
     )
 
 
-def _probe_task(batch: pa.Table, *, index_ref, theta: int) -> pa.Table:
-    return probe_batch(batch, ray.get(index_ref), theta)
+def _probe_task(
+    batch: pa.Table, *, index_ref, theta: int, theta_compat: str = "exact"
+) -> pa.Table:
+    return probe_batch(batch, ray.get(index_ref), theta,
+                       theta_compat=theta_compat)
 
 
 def query_index_streaming(
@@ -77,6 +82,7 @@ def query_index_streaming(
     queries: pa.Table,
     theta: int = 100,
     concurrency: int | tuple[int, int] = (1, 8),
+    theta_compat: str = "exact",
 ) -> rd.Dataset:
     """Scale path: the BANK dataset streams (never broadcast, never fully in
     memory) while the query probe set is broadcast — for indexes whose
@@ -134,20 +140,22 @@ def query_index_streaming(
     # produces 64 groups, each finalizing its (query, source) pairs
     # in-process (per-pair Ray dispatch would dominate at scale)
     return masks.groupby("kb").map_groups(
-        make_reduce_masks(probe_ref, theta, source_shards_ref),
+        make_reduce_masks(probe_ref, theta, source_shards_ref,
+                          theta_compat=theta_compat),
         batch_format="pyarrow",
     )
 
 
 def query_table(
-    index_dir: str, queries: pa.Table, theta: int = 100
+    index_dir: str, queries: pa.Table, theta: int = 100,
+    theta_compat: str = "exact",
 ) -> pa.Table:
     """Single-shot driver-side query for small query sets — the analogue of
     the reference's inline single-sequence path (search_index.py:104-159)."""
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
     index = BankIndex.load(index_dir)
-    return probe_batch(queries, index, theta)
+    return probe_batch(queries, index, theta, theta_compat=theta_compat)
 
 
 def format_report(hits: pa.Table, theta: int) -> str:

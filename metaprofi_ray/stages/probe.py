@@ -14,8 +14,8 @@ Semantics parity (SURVEY.md §2.4 A3–A5):
     (exact search == theta=100).  DELIBERATE DIVERGENCE: the reference
     evaluates ``ceil((n_wins/100) * theta)`` (search_index.py:532), whose
     intermediate float rounding shifts the threshold on ~1.6% of
-    (n_wins, theta) pairs (e.g. n_wins=110, theta=10 → reference demands 12
-    windows, this engine 11; n_wins=7, theta=100 → reference demands an
+    (n_wins, theta) pairs (e.g. n_wins=14, theta=50 → reference demands 8
+    windows, this engine 7; n_wins=7, theta=100 → reference demands an
     impossible 8).  The integer-exact form here is kept on purpose; parity
     tests must not chase the reference's float artifact;
   * queries with zero windows or zero hits produce no rows (F5,
@@ -35,6 +35,28 @@ from ..config import SketchConfig
 from ..functions.tokenize import batch_windows
 from ..sketches import bloom, hashing
 from ..sources.io import BankIndex
+
+def min_windows(nw, theta: int, compat: str = "exact"):
+    """Window-count threshold for a theta-containment hit.
+
+    ``compat="exact"`` (default): integer-exact ``ceil(nw·θ/100)``.
+    ``compat="reference"``: the reference's float form
+    ``ceil((nw/100)·θ)`` (search_index.py:532), whose intermediate
+    rounding shifts the threshold on ~1.6% of (nw, θ) pairs — e.g.
+    nw=7, θ=100 demands an impossible 8 windows.  Parity harnesses
+    comparing against the reference should pass ``compat="reference"``
+    so those boundary diffs are expected rather than flagged as bugs.
+    Works on scalars and numpy arrays."""
+    if compat == "reference":
+        return np.maximum(1, np.ceil((np.asarray(nw) / 100.0) * theta)).astype(
+            np.int64
+        )
+    if compat != "exact":
+        raise ValueError(f"unknown theta compat mode {compat!r}")
+    return np.maximum(
+        1, -(-np.asarray(nw) * theta // 100)
+    ).astype(np.int64)
+
 
 HITS_SCHEMA = pa.schema(
     [
@@ -99,6 +121,7 @@ def probe_batch(
     theta: int,
     query_col: str = "query_id",
     cache: SlicePresenceCache | None = None,
+    theta_compat: str = "exact",
 ) -> pa.Table:
     """Vectorized probe of one query batch against the full bank matrix.
     With ``cache``, windows already probed by ANY previous request on this
@@ -165,7 +188,7 @@ def probe_batch(
     src_arr = np.asarray(index.sources)
     for ri, r in enumerate(rows_with):
         nw = int(wins_per_row[r])
-        min_wins = max(1, math.ceil(nw * theta / 100))
+        min_wins = int(min_windows(nw, theta, theta_compat))
         row_counts = counts[ri]
         hit = np.nonzero(row_counts >= min_wins)[0]
         if hit.size == 0:

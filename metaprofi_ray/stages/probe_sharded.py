@@ -40,7 +40,7 @@ import ray
 from ..config import SketchConfig
 from ..functions.tokenize import batch_windows
 from ..sketches import bloom, hashing
-from .probe import HITS_SCHEMA
+from .probe import HITS_SCHEMA, min_windows
 
 
 class QueryProbeSet:
@@ -264,7 +264,8 @@ class ShardProber:
         return full.filter(pa.array(constrained.ravel()))
 
 
-def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
+def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
+                      theta_compat: str = "exact"):
     """Build the groupby(kb) finalizer: within one coarse bucket, iterate the
     (query, source) pairs IN-PROCESS (no per-pair Ray dispatch), AND each
     pair's shard masks (clearing windows probed in shards the source has NO
@@ -352,7 +353,7 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
             for sid in missing[int(si[r0])]:
                 bits &= ~probe.shard_win_mask[sid][lo : lo + nw]
             found = int(bits.sum())
-            if found < max(1, math.ceil(nw * theta / 100)):
+            if found < int(min_windows(nw, theta, theta_compat)):
                 return
             out["query_id"].append(probe.qid_arr[q])
             out["source"].append(hash2src[int(si[r0])])
@@ -386,9 +387,7 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref):
             found = POP[final].sum(axis=1)
             rep = first[fast]
             nw = probe.wins_per_query[qi[rep].astype(np.int64)]
-            min_wins = np.maximum(
-                1, np.ceil(nw * theta / 100).astype(np.int64)
-            )
+            min_wins = min_windows(nw, theta, theta_compat)
             hit = found >= min_wins
             arrays.append((rep[hit], found[hit], nw[hit]))
 

@@ -293,3 +293,34 @@ class TestShortQueryRows:
             )
         nw = CFG.k + 4 - CFG.k + 1
         assert nw in per_q.get("a", set()) and nw in per_q.get("b", set())
+
+
+class TestThetaCompat:
+    def test_reference_float_mode_differs_on_boundary(self):
+        """ADVICE r2: the reference computes ceil((nw/100)*theta) whose float
+        rounding shifts ~1.6% of (nw, theta) pairs; compat='reference'
+        reproduces those boundaries for parity harnesses."""
+        import numpy as np
+
+        from metaprofi_ray.stages.probe import min_windows
+
+        # documented boundary: 7 windows at theta=100 is unreachable in the
+        # reference (demands 8), integer-exact demands 7
+        assert int(min_windows(7, 100)) == 7
+        assert int(min_windows(7, 100, compat="reference")) == 8
+        # another boundary: nw=14, theta=50 -> (0.14*50)=7.000000000000001
+        assert int(min_windows(14, 50)) == 7
+        assert int(min_windows(14, 50, compat="reference")) == 8
+        # vectorized form agrees with scalars
+        nw = np.array([7, 110, 33, 1])
+        np.testing.assert_array_equal(
+            min_windows(nw, 100), np.array([7, 110, 33, 1])
+        )
+        # modes agree away from boundaries
+        assert int(min_windows(33, 75)) == int(
+            min_windows(33, 75, compat="reference")
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            min_windows(5, 50, compat="bogus")
