@@ -126,6 +126,27 @@ def run_bench() -> dict:
     t_query_warm = time.perf_counter() - t0
     timings["bloom_query_2k_warm"] = round(t_query_warm, 3)
 
+    # streaming sharded prober (banks ≫ memory regime) at a throughput-
+    # scale query count — best of 2 (sandbox noise)
+    qt10k = pa.table(
+        {
+            "query_id": [f"s{i}" for i in range(10_000)],
+            "tokens": pa.array(
+                [rng.integers(0, 1 << 20, size=40, dtype=np.int32) for _ in range(10_000)],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    t_stream = min(
+        _timed_call(
+            lambda: query_pipe.query_index_streaming(
+                index_dir, qt10k, theta=75
+            ).count()
+        )
+        for _ in range(2)
+    )
+    timings["bloom_query_10k_streaming"] = round(t_stream, 3)
+
     # warm interactive service (raw actor pool, index broadcast once):
     # best of 3 — the latency regime the Dataset path can't reach
     from metaprofi_ray.pipelines.query_service import QueryService
@@ -173,6 +194,7 @@ def run_bench() -> dict:
         "sequences_per_sec": round(seq_per_sec, 1),
         "query_qps": round(2000 / min(t_query, t_query_warm), 1),
         "query_qps_service": round(2000 / t_svc, 1),
+        "query_qps_streaming": round(10_000 / t_stream, 1),
     }
 
 
