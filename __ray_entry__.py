@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom_fpr_report folded into fpr_bound_check (its oracle-verified
         # face; the raw report stays a library function under pytest)
         "fpr_bound_check": flagship.fpr_bound_check,
+        "bloom_selfhit_check": flagship.bloom_selfhit_check,
         # sketch estimates are surfaced through their bounds-checked faces
         # (the raw-estimate views hll_distinct_per_source /
         # cms_token_estimates / doclen_quantiles remain library functions,
@@ -306,6 +307,19 @@ def oracle_sql() -> dict[str, str]:
         "fpr_bound_check": """
             SELECT source, TRUE AS fpr_ok
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "bloom_selfhit_check": f"""
+            WITH d AS (
+              SELECT doc_id, source, {n_words} AS n_words FROM documents
+            ), sel AS (
+              SELECT * FROM d WHERE n_words >= 12 ORDER BY doc_id LIMIT 40
+            )
+            SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     || '|' || source AS query_id,
+                   source AS owner,
+                   CAST(LEAST(n_words, 16) - 7 AS BIGINT) AS n_wins,
+                   TRUE AS self_hit, TRUE AS full_fraction
+            FROM sel ORDER BY query_id
         """,
         "quantile_error_check": f"""
             WITH lens AS (

@@ -156,6 +156,69 @@ def bloom_query_self(sf_dir: str, theta: int = 100, n_queries: int = 40) -> pd.D
     return hits.sort_values(["query_id", "source"]).reset_index(drop=True)
 
 
+def bloom_selfhit_check(sf_dir: str, n_queries: int = 40) -> pd.DataFrame:
+    """Zero-false-negative oracle face of the query path (A4): the first
+    ``n_queries`` docs BY doc_id with ≥ k+4 tokens become 16-token
+    self-queries; the Bloom property guarantees the owning source hits at
+    theta=100 with EVERY window found — no hash luck involved.  Rows
+    (query_id, owner, n_wins) are fully SQL-reproducible
+    (n_wins = min(n_words, 16) − k + 1); ``self_hit`` / ``full_fraction``
+    are pinned TRUE by the DuckDB oracle — a lost bank bit or a broken
+    probe flips them and fails the hash match."""
+    index_dir = build_index_for(sf_dir)
+    cfg = DEFAULT_CFG
+    sel = (
+        tokens_dataset(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t["n_tok"], cfg.k + 4)),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+        .limit(n_queries)
+        .to_pandas()
+    )
+    queries = pa.table(
+        {
+            "query_id": [
+                f"{d}|{s}" for d, s in zip(sel["doc_id"], sel["source"])
+            ],
+            "tokens": pa.array(
+                [np.asarray(t, dtype=np.int32)[: cfg.k + 8] for t in sel["tokens"]],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    hits = query_pipe.query_table(index_dir, queries, theta=100).to_pandas()
+    hmap = {
+        (q, s): (int(wf), int(nw))
+        for q, s, wf, nw in zip(
+            hits["query_id"], hits["source"], hits["wins_found"], hits["n_wins"]
+        )
+    }
+    qids = [f"{d}|{s}" for d, s in zip(sel["doc_id"], sel["source"])]
+    exp_wins = (
+        np.minimum(sel["n_tok"].to_numpy(), cfg.k + 8) - cfg.k + 1
+    ).astype(np.int64)
+    self_hit, full = [], []
+    for qid, owner, nw in zip(qids, sel["source"], exp_wins):
+        wf, nw_probe = hmap.get((qid, owner), (0, -1))
+        self_hit.append(bool(wf == int(nw) and nw_probe == int(nw)))
+        full.append(bool(wf == nw_probe and wf > 0))
+    return (
+        pd.DataFrame(
+            {
+                "query_id": qids,
+                "owner": sel["source"].to_numpy(),
+                "n_wins": exp_wins,
+                "self_hit": self_hit,
+                "full_fraction": full,
+            }
+        )
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
 def _stats_rows(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
