@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "kmeans_embeddings": clustering.kmeans_embeddings,
+        "kmeans_check": clustering.kmeans_check,
         "events_prior_orders": relational.events_prior_orders,
         "events_prior_orders_partitioned": relational.events_prior_orders_partitioned,
         "customers_without_orders": relational.customers_without_orders,
@@ -307,6 +308,11 @@ def oracle_sql() -> dict[str, str]:
         "fpr_bound_check": """
             SELECT source, TRUE AS fpr_ok
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "kmeans_check": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                   TRUE AS k_ok, TRUE AS inertia_nonincreasing
+            FROM embeddings
         """,
         "bloom_selfhit_check": f"""
             WITH d AS (

@@ -153,6 +153,7 @@ def kmeans_centroids(
     path: str, k: int = 10, iters: int = 5, seed: int = 5,
     init: str = "prefix",
     materialize_budget_bytes: int | None = MATERIALIZE_BUDGET_BYTES,
+    history: list | None = None,
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Lloyd k-means over an embeddings parquet file; returns
     ``(centroids, last_partials)``.  Used both by the ``kmeans_embeddings``
@@ -170,7 +171,7 @@ def kmeans_centroids(
             materialize_budget_bytes=materialize_budget_bytes,
         )
         ds = _scan(path, ["embedding"], materialize_budget_bytes)
-        return _lloyd(ds, centroids, iters)
+        return _lloyd(ds, centroids, iters, history=history)
     # init from the leading row group(s) only — a deterministic seeded
     # choice within a bounded prefix, never a full-table driver read
     import pyarrow.parquet as pq
@@ -195,15 +196,18 @@ def kmeans_centroids(
     centroids = emb[np.sort(init_rows)]
 
     ds = _scan(path, ["embedding"], materialize_budget_bytes)
-    return _lloyd(ds, centroids, iters)
+    return _lloyd(ds, centroids, iters, history=history)
 
 
 def _lloyd(
-    ds: rd.Dataset, centroids: np.ndarray, iters: int
+    ds: rd.Dataset, centroids: np.ndarray, iters: int,
+    history: list | None = None,
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Distributed Lloyd iterations: per round, broadcast centroids, every
     batch emits per-cluster partial sums/counts (the combiner), the tiny
-    partial table reduces on the driver."""
+    partial table reduces on the driver.  ``history``, if given, collects
+    the total inertia of each iteration (Lloyd guarantees it never
+    increases — the convergence invariant ``kmeans_check`` asserts)."""
     for _ in range(iters):
         cref = ray.put(centroids)
 
@@ -248,7 +252,34 @@ def _lloyd(
             new[c] = vec / max(total, 1)
         centroids = new
         last = partials
+        if history is not None:
+            history.append(float(partials["inertia"].sum()))
     return centroids, last
+
+
+def kmeans_check(
+    sf_dir: str, k: int = 10, iters: int = 5, seed: int = 5
+) -> pd.DataFrame:
+    """Bound-check face of ``kmeans_embeddings``: one row the DuckDB oracle
+    reproduces — ``n_points`` (every vector assigned exactly once ⇒ equals
+    the corpus row count, SQL's COUNT(*)), ``k_ok`` (≤ k non-empty
+    clusters) and ``inertia_nonincreasing`` (Lloyd's convergence
+    invariant over the iteration history), both pinned TRUE."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    hist: list[float] = []
+    _, last = kmeans_centroids(path, k=k, iters=iters, seed=seed, history=hist)
+    sizes = last.groupby("cluster")["n"].sum()
+    noninc = all(
+        hist[i + 1] <= hist[i] * (1 + 1e-9) + 1e-6
+        for i in range(len(hist) - 1)
+    )
+    return pd.DataFrame(
+        {
+            "n_points": pd.array([int(sizes.sum())], dtype="int64"),
+            "k_ok": [bool(0 < len(sizes) <= k)],
+            "inertia_nonincreasing": [bool(noninc)],
+        }
+    )
 
 
 def kmeans_embeddings(
