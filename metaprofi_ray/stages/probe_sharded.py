@@ -91,9 +91,11 @@ class QueryProbeSet:
         pad_bits = ((nw_all + 7) // 8) * 8
         bit_off = np.concatenate([[0], np.cumsum(pad_bits)])
         L = int(bit_off[-1])
-        template = np.zeros(L, dtype=bool)
-        for q in range(self.n_queries):
-            template[bit_off[q] : bit_off[q] + int(nw_all[q])] = True
+        # vectorized: bit b is live iff its offset inside its query's padded
+        # region is below that query's window count
+        pos = np.arange(L, dtype=np.int64)
+        owner = np.searchsorted(bit_off, pos, side="right") - 1
+        template = (pos - bit_off[owner]) < nw_all[owner]
         self.g_bit_off = bit_off
         self.g_byte_off = (bit_off // 8).astype(np.int64)
         self.g_template = template
