@@ -634,7 +634,11 @@ def minhash_precision_check(
         for a, b, j in zip(high["doc_a"], high["doc_b"], high["jaccard"])
     ]
     out = high.copy()
-    out["recalled"] = bool(all(recalled))
+    # fraction floor (not all()): 16x4 banding misses a J=0.8 pair with
+    # p ~ 2e-4, so demanding 100% recall would make the entry flaky under
+    # corpus regeneration; >= 0.9 still catches any real LSH regression
+    recall_frac = sum(recalled) / max(len(recalled), 1) if recalled else 1.0
+    out["recalled"] = bool(recall_frac >= 0.9)
     out["est_within_bound"] = bool(all(est_within))
     out["precision_ok"] = bool(precision_ok)
     return out
