@@ -92,8 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lsh_topk / ivf_topk (pruned probes) run inside their recall
         # checks, which also assert files_read < files_total
         "ann_brute_topk": ann.brute_force_topk,
+        "ann_brute_topk_batch": ann.brute_force_topk_batch,
         "ann_lsh_recall_check": ann.lsh_recall_check,
         "ann_ivf_recall_check": ann_ivf.ivf_recall_check,
+        "ann_ivf_batch_recall_check": ann_ivf.ivf_batch_recall_check,
         "ann_ivf_topk_full": ann_ivf.ivf_topk_full,
         "knn_label_stats": ann.knn_label_stats,
         # --- multimodal binary-column plumbing (decode stubbed) ---------
@@ -465,6 +467,35 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 64
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ann_brute_topk_batch": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS cos
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, vec_id, cos,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, vec_id ASC) AS rn
+                  FROM s)
+            SELECT qid, vec_id, ROUND(cos, 4) AS cosine,
+                   CAST(rn AS BIGINT) AS "rank"
+            FROM r WHERE rn <= 10 ORDER BY qid, rn
+        """,
+        "ann_ivf_batch_recall_check": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS cos
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, vec_id, cos,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, vec_id ASC) AS rn
+                  FROM s)
+            SELECT qid, vec_id, ROUND(cos, 4) AS cosine,
+                   CAST(rn AS BIGINT) AS "rank",
+                   TRUE AS recall_ok, TRUE AS read_pruned
+            FROM r WHERE rn <= 10 ORDER BY qid, rn
         """,
         "ann_lsh_recall_check": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -294,6 +294,82 @@ def knn_label_stats(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def _query_mat(path: str, vec_ids: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch a SMALL batch of query rows with a pushed-down IN filter."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(vec_ids))],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    order = np.argsort(ids)
+    return mat[order], ids[order]
+
+
+def _merge_partial_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-query merge of per-block partial top-k rows → ranked final."""
+    out = (
+        pdf.sort_values(["qid", "cosine", "vec_id"],
+                        ascending=[True, False, True])
+        .groupby("qid", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out["cosine"] = round_half_away(out["cosine"], 4)
+    return out[["qid", "vec_id", "cosine", "rank"]].astype(
+        {"qid": "int64", "vec_id": "int64", "rank": "int64"}
+    )
+
+
+def brute_force_topk_batch(
+    sf_dir: str, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10
+) -> pd.DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus pass:
+    the (small) query matrix broadcasts once and every corpus batch scores
+    all queries with a single matmul, emitting per-query partial top-k —
+    at 100 TB, Q queries cost one scan, not Q scans."""
+    path = _emb_path(sf_dir)
+    qmat, qids = _query_mat(path, query_vec_ids)
+    bref = ray.put((qmat, qids))
+
+    class Score:
+        def __init__(self):
+            self.qmat, self.qids = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            EMPTY = pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+            if len(df) == 0:
+                return EMPTY
+            mat = _normalize(
+                np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            )
+            vids = df["vec_id"].to_numpy().astype(np.int64)
+            sims = mat @ self.qmat.T  # (batch, nq)
+            outs = []
+            for j, q in enumerate(self.qids):
+                keep = vids != q
+                sub = pd.DataFrame(
+                    {"qid": q, "vec_id": vids[keep], "cosine": sims[keep, j]}
+                )
+                outs.append(
+                    sub.sort_values(["cosine", "vec_id"],
+                                    ascending=[False, True]).head(k)
+                )
+            return pd.concat(outs, ignore_index=True)
+
+    partials = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        Score, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
+    )
+    return _merge_partial_topk(partials.to_pandas(), k)
+
+
 def lsh_recall_check(
     sf_dir: str, query_vec_id: int = 0, k: int = 10,
     n_probe_buckets: int = 4, recall_bound: float = 0.3,

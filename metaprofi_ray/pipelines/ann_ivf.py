@@ -204,6 +204,114 @@ def ivf_topk_full(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFra
     return ivf_topk(sf_dir, query_vec_id=query_vec_id, k=k, nprobe=10**9)
 
 
+def ivf_topk_batch(
+    sf_dir: str,
+    query_vec_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    return_stats: bool = False,
+):
+    """Multi-query IVF probe with AMORTIZED cell reads: the union of every
+    query's ``nprobe`` cells is read ONCE; each batch re-derives its rows'
+    cell assignment (one matmul against the broadcast centroids — cheaper
+    than trusting path parsing) and scores each query only against rows in
+    cells that query probes.  Q queries cost |union cells| of I/O, not
+    Q × nprobe cell reads — the serving shape a large corpus needs."""
+    from .ann import _merge_partial_topk, _query_mat
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    index_dir = build_ivf_index(emb_path, nlist=nlist)
+    centroids = _normalize(np.load(os.path.join(index_dir, CENTROIDS)))
+    qmat, qids = _query_mat(emb_path, query_vec_ids)
+    order = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")
+    npb = max(1, min(nprobe, centroids.shape[0]))
+    probe_cells = order[:, :npb]  # (nq, nprobe)
+    # (nlist, nq) membership: does query j probe cell c?
+    probes = np.zeros((centroids.shape[0], len(qids)), dtype=bool)
+    for j in range(len(qids)):
+        probes[probe_cells[j], j] = True
+    union_cells = sorted({int(c) for c in probe_cells.ravel()})
+    files, n_total_files = _cell_files(index_dir, union_cells)
+    bref = ray.put((qmat, qids, centroids, probes))
+
+    class Score:
+        def __init__(self):
+            self.qmat, self.qids, self.c, self.probes = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            EMPTY = pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+            if len(df) == 0:
+                return EMPTY
+            mat = _normalize(
+                np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            )
+            vids = df["vec_id"].to_numpy().astype(np.int64)
+            cell = (mat @ self.c.T).argmax(axis=1)
+            sims = mat @ self.qmat.T
+            outs = []
+            for j, q in enumerate(self.qids):
+                keep = self.probes[cell, j] & (vids != q)
+                if not keep.any():
+                    continue
+                sub = pd.DataFrame(
+                    {"qid": q, "vec_id": vids[keep], "cosine": sims[keep, j]}
+                )
+                outs.append(
+                    sub.sort_values(["cosine", "vec_id"],
+                                    ascending=[False, True]).head(k)
+                )
+            return pd.concat(outs, ignore_index=True) if outs else EMPTY
+
+    partials = rd.read_parquet(files, columns=["vec_id", "embedding"]).map_batches(
+        Score, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
+    )
+    top = _merge_partial_topk(partials.to_pandas(), k)
+    if return_stats:
+        stats = {
+            "files_read": len(files),
+            "files_total": n_total_files,
+            "union_cells": union_cells,
+            "cells_per_query": npb,
+        }
+        return top, stats
+    return top
+
+
+def ivf_batch_recall_check(
+    sf_dir: str,
+    query_vec_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    recall_bound: float = 0.3,
+) -> pd.DataFrame:
+    """Bound-check face of the batched IVF probe: rows are the exact
+    multi-query brute-force top-k (SQL window-function-reproducible) plus
+    constants the oracle pins TRUE — mean recall across the query batch
+    ≥ ``recall_bound`` and read pruning (union of probed cells < store)."""
+    from .ann import brute_force_topk_batch
+
+    exact = brute_force_topk_batch(sf_dir, query_vec_ids, k)
+    approx, stats = ivf_topk_batch(
+        sf_dir, query_vec_ids, k, nlist=nlist, nprobe=nprobe,
+        return_stats=True,
+    )
+    recalls = []
+    for q in query_vec_ids:
+        e = set(exact.loc[exact["qid"] == q, "vec_id"])
+        a = set(approx.loc[approx["qid"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    out = exact.copy()
+    out["recall_ok"] = bool(float(np.mean(recalls)) >= recall_bound)
+    out["read_pruned"] = bool(stats["files_read"] < stats["files_total"])
+    return out
+
+
 def ivf_recall_check(
     sf_dir: str, query_vec_id: int = 0, k: int = 10, nlist: int = 16,
     nprobe: int = 8, recall_bound: float = 0.3,

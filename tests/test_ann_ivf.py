@@ -110,3 +110,25 @@ def test_ivf_cell_balance_on_skewed_corpus(ray_session, tmp_path):
     # it across cells instead of collapsing everything into one
     assert max(rows) <= 0.75 * n, rows
     assert len([r for r in rows if r > 0]) >= nlist // 2, rows
+
+
+def test_batched_ann_matches_per_query(ray_session):
+    """Batched brute force (one corpus pass for Q queries) must equal the
+    per-query exact path; the batched IVF probe reads the UNION of probed
+    cells once and keeps per-query recall above the check bound."""
+    from metaprofi_ray.pipelines.ann import brute_force_topk, brute_force_topk_batch
+
+    batch = brute_force_topk_batch(SF, (0, 7, 23), k=10)
+    for q in (0, 7, 23):
+        solo = brute_force_topk(SF, query_vec_id=q, k=10)
+        sub = batch[batch["qid"] == q].reset_index(drop=True)
+        assert sub["vec_id"].tolist() == solo["vec_id"].tolist(), q
+        np.testing.assert_allclose(sub["cosine"], solo["cosine"], atol=1e-9)
+    approx, stats = ann_ivf.ivf_topk_batch(
+        SF, (0, 7, 23), k=10, nprobe=4, return_stats=True
+    )
+    assert stats["files_read"] <= stats["files_total"]
+    # amortization: union of 3x4 probed cells <= 12 files, read once
+    assert stats["files_read"] <= 3 * 4
+    for q in (0, 7, 23):
+        assert len(approx[approx["qid"] == q]) == 10
