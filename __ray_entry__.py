@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # public library functions under pytest
         "exact_dedup": dedup.exact_dedup,
         "exact_dup_canonical": dedup.exact_dup_canonical,
+        "dedup_stats": dedup.dedup_stats,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_precision_check": dedup.minhash_precision_check,
         "simhash_recall_check": dedup.simhash_recall_check,
@@ -368,6 +369,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_stats": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+                   CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                       AS n_dup_docs
+            FROM documents GROUP BY source ORDER BY source
         """,
         "ngram_jaccard_pairs": """
             WITH words AS (

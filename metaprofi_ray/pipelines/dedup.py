@@ -97,6 +97,51 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     return hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="keep_doc_id"))
 
 
+def dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source exact-duplicate accounting — the reporting face a dedup
+    run emits before deciding what to drop: ``(source, n_docs,
+    n_unique_texts, n_dup_docs)``.  Two chained groupbys, both over hash
+    rows only (never the texts): (source, md5) → count, then source →
+    distinct count + total."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"].values,
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    per_text = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby(["source", "text_md5"])
+        .aggregate(Count(alias_name="n"))
+    )
+    per_source = (
+        per_text.groupby("source")
+        .aggregate(
+            Count(alias_name="n_unique_texts"),
+            Sum("n", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    per_source["n_docs"] = per_source["n_docs"].astype("int64")
+    per_source["n_unique_texts"] = per_source["n_unique_texts"].astype("int64")
+    per_source["n_dup_docs"] = (
+        per_source["n_docs"] - per_source["n_unique_texts"]
+    ).astype("int64")
+    return (
+        per_source[["source", "n_docs", "n_unique_texts", "n_dup_docs"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------ shingling
 def _word_shingles(text: str, n: int) -> set[bytes]:
     words = text.lower().split()
