@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(reference search_index -s analogue)")
     s.add_argument("--theta", type=int, default=100)
     s.add_argument("--out", default=None)
+    s.add_argument("--streaming", action="store_true",
+                   help="stream the bank table instead of broadcasting it "
+                        "(for indexes whose banks exceed worker memory)")
+    s.add_argument("--theta-compat", choices=["exact", "reference"],
+                   default="exact",
+                   help="threshold arithmetic: integer-exact (default) or "
+                        "the reference's float form for parity comparisons")
 
     sm = sub.add_parser("summary")
     sm.add_argument("index_dir")
@@ -159,7 +166,12 @@ def main(argv: list[str] | None = None) -> int:
         owns_ray = _init_ray()
         import pyarrow as pa
 
-        from .pipelines.query import format_report, query_index, query_table
+        from .pipelines.query import (
+            format_report,
+            query_index,
+            query_index_streaming,
+            query_table,
+        )
 
         if a.seq is not None:
             tokens = [int(t) for t in a.seq.split(",") if t.strip()]
@@ -167,14 +179,26 @@ def main(argv: list[str] | None = None) -> int:
                 {"query_id": ["seq-0"],
                  "tokens": pa.array([tokens], pa.list_(pa.int32()))}
             )
-            tbl = query_table(a.index_dir, q, theta=a.theta)
+            tbl = query_table(a.index_dir, q, theta=a.theta,
+                              theta_compat=a.theta_compat)
             sys.stdout.write(format_report(tbl, a.theta))
         else:
             if a.queries is None:
                 p.error("search needs a query parquet path or --seq")
             import ray.data as rd
 
-            hits = query_index(a.index_dir, rd.read_parquet(a.queries), theta=a.theta)
+            if a.streaming:
+                import pyarrow.parquet as pq
+
+                hits = query_index_streaming(
+                    a.index_dir, pq.read_table(a.queries), theta=a.theta,
+                    theta_compat=a.theta_compat,
+                )
+            else:
+                hits = query_index(
+                    a.index_dir, rd.read_parquet(a.queries), theta=a.theta,
+                    theta_compat=a.theta_compat,
+                )
             if a.out:
                 hits.write_parquet(a.out)
                 print(f"hits written to {a.out}")
