@@ -41,7 +41,7 @@ CELLS = "cells"
 
 def build_ivf_index(
     emb_path: str, nlist: int = 16, iters: int = 4, seed: int = 5,
-    init: str = "kmeans||",
+    init: str = "kmeans||", cell_row_budget: int | None = None,
 ) -> str:
     """Build (or reuse the cached) IVF cell layout for an embeddings file.
     Returns the index dir containing ``centroids.npy`` + ``cells/``.
@@ -49,11 +49,16 @@ def build_ivf_index(
     The coarse quantizer defaults to the distributed k-means|| init
     (VERDICT r2 #5): a prefix-seeded quantizer is biased toward the leading
     row group, which at 100 TB skews cell sizes — exactly what the cells
-    manifest exists to detect."""
+    manifest exists to detect.  ``cell_row_budget`` bounds the unit of
+    probe I/O: any cell exceeding it is RE-SPLIT into hashed
+    sub-partitions (``bucket=<b>/sub=<s>/``), so one hot cell never
+    becomes one giant file / one straggler probe task — probes still read
+    whole cells (pruning unchanged), just as several balanced files."""
     st = os.stat(emb_path)
     key_material = (
         f"{os.path.abspath(emb_path)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|nlist={nlist}|iters={iters}|seed={seed}|init={init}|v2"
+        f"|nlist={nlist}|iters={iters}|seed={seed}|init={init}"
+        f"|budget={cell_row_budget}|v3"
     )
     key = hashlib.blake2b(key_material.encode(), digest_size=8).hexdigest()
     index_dir = os.path.join(tempfile.gettempdir(), f"metaprofi_ray_ivf_{key}")
@@ -91,21 +96,52 @@ def build_ivf_index(
     np.save(os.path.join(tmp, CENTROIDS), centroids)
     # per-cell row counts from the written files' parquet footers (metadata
     # only): the balanced-probe manifest — lets a query report exactly what
-    # fraction of the corpus its probed cells cover, and at 100 TB drives
-    # cell re-splitting when assignment skews
+    # fraction of the corpus its probed cells cover, and drives the
+    # cell re-split below when assignment skews
     import json
 
     import pyarrow.parquet as pq
 
-    cell_rows: dict[str, int] = {}
-    for bdir in sorted(glob.glob(os.path.join(tmp, CELLS, "bucket=*"))):
-        b = os.path.basename(bdir).split("=", 1)[1]
-        cell_rows[b] = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in glob.glob(os.path.join(bdir, "*.parquet"))
-        )
+    def _count_cells(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for bdir in sorted(glob.glob(os.path.join(root, CELLS, "bucket=*"))):
+            b = os.path.basename(bdir).split("=", 1)[1]
+            out[b] = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(bdir, "**", "*.parquet"),
+                                   recursive=True)
+            )
+        return out
+
+    cell_rows = _count_cells(tmp)
+    resplit: dict[str, int] = {}
+    if cell_row_budget:
+        for b, n in cell_rows.items():
+            if n <= cell_row_budget:
+                continue
+            n_sub = -(-n // cell_row_budget)
+            bdir = os.path.join(tmp, CELLS, f"bucket={b}")
+
+            def add_sub(df: pd.DataFrame, n_sub=n_sub) -> pd.DataFrame:
+                df = df.copy()
+                df["sub"] = (
+                    df["vec_id"].to_numpy().astype(np.int64) % n_sub
+                ).astype("int64")
+                return df
+
+            sub_tmp = bdir + ".resplit"
+            rd.read_parquet(bdir).map_batches(
+                add_sub, batch_format="pandas"
+            ).write_parquet(sub_tmp, partition_cols=["sub"])
+            shutil.rmtree(bdir)
+            os.rename(sub_tmp, bdir)
+            resplit[b] = n_sub
     with open(os.path.join(tmp, "cells_manifest.json"), "w") as fh:
-        json.dump({"nlist": nlist, "cell_rows": cell_rows}, fh, indent=2)
+        json.dump(
+            {"nlist": nlist, "cell_rows": cell_rows,
+             "cell_row_budget": cell_row_budget, "resplit": resplit},
+            fh, indent=2,
+        )
     try:
         os.rename(tmp, index_dir)  # atomic publish; loser of a race discards
     except OSError:
@@ -114,13 +150,21 @@ def build_ivf_index(
 
 
 def _cell_files(index_dir: str, buckets: list[int]) -> tuple[list[str], int]:
-    """Parquet files of the chosen cells + the total cell-file count."""
+    """Parquet files of the chosen cells + the total cell-file count
+    (recursive: re-split cells hold ``sub=*`` sub-partitions)."""
     cells_dir = os.path.join(index_dir, CELLS)
-    all_files = glob.glob(os.path.join(cells_dir, "bucket=*", "*.parquet"))
+    all_files = glob.glob(
+        os.path.join(cells_dir, "bucket=*", "**", "*.parquet"), recursive=True
+    )
     chosen: list[str] = []
     for b in buckets:
         chosen.extend(
-            sorted(glob.glob(os.path.join(cells_dir, f"bucket={b}", "*.parquet")))
+            sorted(
+                glob.glob(
+                    os.path.join(cells_dir, f"bucket={b}", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
         )
     return chosen, len(all_files)
 

@@ -132,3 +132,42 @@ def test_batched_ann_matches_per_query(ray_session):
     assert stats["files_read"] <= 3 * 4
     for q in (0, 7, 23):
         assert len(approx[approx["qid"] == q]) == 10
+
+
+def test_ivf_cell_resplit_bounds_file_size(ray_session, tmp_path):
+    """cell_row_budget re-splits oversized cells into hashed sub-partitions:
+    no probe unit exceeds the budget (2x slack for hash jitter), no vector
+    is lost, and probes read the sub-files transparently."""
+    import glob as g
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    n, dim, nlist = 1500, 8, 4
+    centers = rng.standard_normal((nlist, dim)) * 6.0
+    labels = np.where(rng.random(n) < 0.7, 0, rng.integers(1, nlist, n))
+    vecs = centers[labels] + rng.standard_normal((n, dim)) * 0.3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    path = str(tmp_path / "skew2.parquet")
+    pq.write_table(tbl, path)
+    budget = 300
+    idx = ann_ivf.build_ivf_index(path, nlist=nlist, cell_row_budget=budget)
+    with open(idx + "/cells_manifest.json") as fh:
+        man = json.load(fh)
+    assert man["resplit"], man  # the hot cell must have been split
+    files = g.glob(idx + "/cells/bucket=*/**/*.parquet", recursive=True)
+    per_file = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert sum(per_file) == n
+    assert max(per_file) <= 2 * budget, sorted(per_file)[-3:]
+    # probes see the sub-files transparently
+    chosen, total = ann_ivf._cell_files(idx, list(range(nlist)))
+    assert sorted(chosen) == sorted(files) and total == len(files)
