@@ -102,11 +102,20 @@ def kmeans_parallel_init(
             )
             sel = u < p
             return pd.DataFrame(
-                {"embedding": [v.tolist() for v in mat[sel]]}
+                {
+                    "vec_id": df["vec_id"].to_numpy().astype(np.int64)[sel],
+                    "embedding": [v.tolist() for v in mat[sel]],
+                }
             )
 
         new = ds.map_batches(sample_pass, batch_format="pandas").to_pandas()
         if len(new):
+            # Ray's streaming executor does NOT preserve block order by
+            # default, so the collected candidate order varies run-to-run;
+            # the weighted k-means++ below is order-sensitive (argmin index
+            # ties, rng.choice positions) — sort by vec_id to restore
+            # determinism (regression: test_kmeans_parallel_init flaked)
+            new = new.sort_values("vec_id")
             centers = np.vstack(
                 [centers, np.asarray(new["embedding"].tolist(), dtype=np.float64)]
             )
