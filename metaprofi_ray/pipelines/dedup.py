@@ -897,11 +897,13 @@ def exact_dup_canonical(sf_dir: str) -> pd.DataFrame:
 def embedding_neardup_pairs(
     sf_dir: str, threshold: float = 0.4
 ) -> rd.Dataset:
-    """Cosine near-dup pairs over the embeddings table: the full matrix is
-    broadcast once (ray.put); each batch computes its block of the
-    similarity matrix with one float64 matmul and keeps pairs above
-    threshold with vec_a < vec_b.  At 100 TB the broadcast side becomes the
-    IVF/LSH-bucketed variant in ``ann.py``."""
+    """TEST-ONLY exact reference for the embedding near-dup ladder: the
+    FULL matrix is broadcast once (ray.put) and each batch computes its
+    block of the similarity matrix — O(corpus) broadcast, deliberately NOT
+    on any driver/queries() path since round 3.  Production faces:
+    ``embedding_neardup_pairs_lsh`` (bucketed, no broadcast) verified by
+    ``neardup_lsh_recall_check`` against ``embedding_neardup_sample``
+    (bounded-sample broadcast, SQL oracle)."""
     import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
