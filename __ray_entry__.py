@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "language_id": textstats.language_id,
         "doc_fingerprints": textstats.doc_fingerprints,
+        "contamination_check": textstats.contamination_check,
         # --- training-data ops: dedup -----------------------------------
         # the hash-dependent LSH stages (minhash_lsh_pairs, simhash_pairs)
         # run INSIDE their oracle-checked faces below; raw pair lists stay
@@ -369,6 +370,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "contamination_check": """
+            WITH d AS (
+              SELECT doc_id,
+                     array_to_string(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'), ' '
+                     ) AS norm,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+              FROM documents
+            ), probe_docs AS (
+              SELECT * FROM d ORDER BY doc_id LIMIT 5
+            ), probes AS (
+              SELECT DISTINCT array_to_string(ws[1:5], ' ') AS g
+              FROM probe_docs WHERE len(ws) >= 5
+            ), hits AS (
+              SELECT d.doc_id,
+                     CAST(SUM(CASE WHEN position(' ' || p.g || ' '
+                                      IN ' ' || d.norm || ' ') > 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_hits
+              FROM d CROSS JOIN probes p
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_probe_hits FROM hits
+            WHERE n_probe_hits > 0 ORDER BY doc_id
         """,
         "dedup_stats": """
             SELECT source,

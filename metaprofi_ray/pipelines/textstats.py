@@ -300,3 +300,77 @@ def langid_accuracy(sf_dir: str) -> pd.DataFrame:
         m.groupby(["lang", "pred_lang"]).size().reset_index(name="n")
         .sort_values(["lang", "pred_lang"]).reset_index(drop=True)
     )
+
+
+def contamination_check(
+    sf_dir: str, n_probe_docs: int = 5, gram_n: int = 5,
+    max_probes: int = 40,
+) -> pd.DataFrame:
+    """Test-set decontamination sweep: which corpus documents contain any
+    of a probe set of benchmark n-grams?  The standard pre-training hygiene
+    operator: probes broadcast (tiny side), the corpus streams, each batch
+    runs vectorized whitespace-normalized substring matches.
+
+    Probe set here is deterministic and SQL-reproducible — the first
+    ``gram_n``-word-gram of each of the first ``n_probe_docs`` docs by
+    doc_id (capped at ``max_probes``) — so the DuckDB oracle replays the
+    exact same sweep.  Matching is on space-padded normalized text
+    (``' ' + ' '.join(words) + ' '``), so grams only match at word
+    boundaries.  Rows: ``(doc_id, n_probe_hits)`` for contaminated docs.
+    At 100 TB the probe set would come from the eval suites; the corpus
+    side is unchanged."""
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    head = pq.read_table(path, columns=["doc_id", "text"]).to_pandas()
+    head = head.sort_values("doc_id").head(n_probe_docs)
+    probes: list[str] = []
+    for t in head["text"]:
+        words = str(t).lower().split()
+        if len(words) >= gram_n:
+            probes.append(" ".join(words[:gram_n]))
+    probes = sorted(set(probes))[:max_probes]
+    pref = ray.put([f" {g} " for g in probes])
+
+    class Match:
+        def __init__(self):
+            self.pads = ray.get(pref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or not self.pads:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "n_probe_hits": pd.Series([], dtype="int64")}
+                )
+            norm = (
+                " "
+                + df["text"].str.lower().str.split().str.join(" ")
+                + " "
+            )
+            hits = np.zeros(len(df), dtype=np.int64)
+            for pad in self.pads:
+                hits += norm.str.contains(pad, regex=False).to_numpy()
+            sel = hits > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64").to_numpy()[sel],
+                    "n_probe_hits": hits[sel],
+                }
+            )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(Match, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_probe_hits": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.astype({"doc_id": "int64", "n_probe_hits": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
