@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "doc_fingerprints": textstats.doc_fingerprints,
         "contamination_check": textstats.contamination_check,
+        "quality_filter": textstats.quality_filter,
         # --- training-data ops: dedup -----------------------------------
         # the hash-dependent LSH stages (minhash_lsh_pairs, simhash_pairs)
         # run INSIDE their oracle-checked faces below; raw pair lists stay
@@ -370,6 +371,28 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "quality_filter": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
+                     {n_words} AS n_words,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(
+                              regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              w -> w IN ({stopwords}))) END AS n_stop
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 4) AS alpha_ratio,
+                     ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1), 4) AS stopword_ratio
+              FROM q)
+            SELECT doc_id, n_words, alpha_ratio, stopword_ratio FROM r
+            WHERE n_words >= 20 AND stopword_ratio <= 0.1
+              AND alpha_ratio >= 0.8
         """,
         "contamination_check": """
             WITH d AS (

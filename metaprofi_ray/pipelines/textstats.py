@@ -374,3 +374,26 @@ def contamination_check(
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def quality_filter(
+    sf_dir: str, min_words: int = 20, max_stopword_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+) -> rd.Dataset:
+    """The FILTER face of the quality heuristics — the operator a training
+    pipeline actually applies (``quality_scores`` reports, this one
+    drops).  Predicates evaluate on the ROUNDED scores so the DuckDB
+    oracle's ``ROUND(...)`` comparisons land on identical values; the
+    result streams (pipe to ``write_parquet`` at scale)."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = (
+            (df["n_words"] >= min_words)
+            & (df["stopword_ratio"] <= max_stopword_ratio)
+            & (df["alpha_ratio"] >= min_alpha_ratio)
+        )
+        return df.loc[
+            sel, ["doc_id", "n_words", "alpha_ratio", "stopword_ratio"]
+        ]
+
+    return quality_scores(sf_dir).map_batches(keep, batch_format="pandas")
