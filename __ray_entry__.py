@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textstats.doc_fingerprints,
         "contamination_check": textstats.contamination_check,
         "quality_filter": textstats.quality_filter,
+        "pack_sequences": textstats.pack_sequences,
         # --- training-data ops: dedup -----------------------------------
         # the hash-dependent LSH stages (minhash_lsh_pairs, simhash_pairs)
         # run INSIDE their oracle-checked faces below; raw pair lists stay
@@ -371,6 +372,17 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "pack_sequences": f"""
+            WITH d AS (SELECT doc_id, {n_words} AS n_tok FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cb
+                  FROM d)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(cb // 2048 AS BIGINT) AS bin_id
+            FROM c ORDER BY doc_id
         """,
         "quality_filter": f"""
             WITH q AS (

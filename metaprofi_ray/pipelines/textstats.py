@@ -397,3 +397,76 @@ def quality_filter(
         ]
 
     return quality_scores(sf_dir).map_batches(keep, batch_format="pandas")
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 2048, chunk: int = 4096
+) -> pd.DataFrame:
+    """Sequence packing for training batches: assign each document (in
+    doc_id order) to a token-budget bin — ``bin_id = floor(tokens_before /
+    budget)`` — the deterministic packing a dataloader consumes.
+
+    The global prefix sum is computed DISTRIBUTED with the two-level scan
+    pattern: per-chunk token totals (one tiny groupby), driver cumsum over
+    the chunk totals only (O(n_docs / chunk) rows), then per-chunk offsets
+    broadcast back into a co-partitioned ``map_groups`` that finishes the
+    within-chunk cumsum.  No stage ever holds more than a chunk; the SQL
+    oracle replays the whole thing with one window function."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = (
+            df["text"].str.split().str.len().fillna(0).astype("int64")
+        )
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did.to_numpy(),
+                "n_tok": n_tok.to_numpy(),
+                "chunk": (did // chunk).to_numpy(),
+            }
+        )
+
+    with_counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )
+    # level 1: tiny per-chunk totals -> driver cumsum -> broadcast offsets
+    totals = (
+        with_counts.groupby("chunk")
+        .aggregate(Sum("n_tok", alias_name="total"))
+        .to_pandas()
+        .sort_values("chunk")
+    )
+    offs = dict(
+        zip(
+            totals["chunk"].astype(int),
+            np.concatenate([[0], np.cumsum(totals["total"].to_numpy())[:-1]]),
+        )
+    )
+    oref = ray.put(offs)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        base = int(ray.get(oref)[int(g["chunk"].iloc[0])])
+        g = g.sort_values("doc_id")
+        before = base + np.concatenate(
+            [[0], np.cumsum(g["n_tok"].to_numpy())[:-1]]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tok": g["n_tok"].to_numpy(),
+                "bin_id": (before // budget).astype("int64"),
+            }
+        )
+
+    out = (
+        with_counts.groupby("chunk")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype({"doc_id": "int64", "n_tok": "int64", "bin_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
