@@ -42,3 +42,15 @@ def test_ngram_verify_collects_only_candidate_ids(ray_session, monkeypatch):
     assert all(
         set(cols) <= {"doc_a", "doc_b"} for _, cols in calls
     ), f"non-id collection during ngram verify: {calls}"
+
+
+def test_pair_memo_returns_copies(ray_session):
+    """The process-level pair memo must hand out COPIES — a caller mutating
+    its result must not corrupt later calls (the check faces share these)."""
+    a = dedup.minhash_lsh_pairs(SF)
+    if len(a):
+        a["est_jaccard"] = -1.0
+    b = dedup.minhash_lsh_pairs(SF)
+    assert len(b) == len(a)
+    if len(b):
+        assert (b["est_jaccard"] >= 0).all()
