@@ -319,12 +319,16 @@ def contamination_check(
     boundaries.  Rows: ``(doc_id, n_probe_hits)`` for contaminated docs.
     At 100 TB the probe set would come from the eval suites; the corpus
     side is unchanged."""
-    import pyarrow.parquet as pq
     import ray
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    head = pq.read_table(path, columns=["doc_id", "text"]).to_pandas()
-    head = head.sort_values("doc_id").head(n_probe_docs)
+    # probe selection is a distributed sort+limit — only the chosen probe
+    # docs (a handful of rows) ever reach the driver, never the table
+    head = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .sort("doc_id")
+        .limit(n_probe_docs)
+        .to_pandas()
+    )
     probes: list[str] = []
     for t in head["text"]:
         words = str(t).lower().split()
@@ -401,7 +405,7 @@ def quality_filter(
 
 def pack_sequences(
     sf_dir: str, budget: int = 2048, chunk: int = 4096
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Sequence packing for training batches: assign each document (in
     doc_id order) to a token-budget bin — ``bin_id = floor(tokens_before /
     budget)`` — the deterministic packing a dataloader consumes.
@@ -460,13 +464,8 @@ def pack_sequences(
             }
         )
 
-    out = (
-        with_counts.groupby("chunk")
-        .map_groups(finish, batch_format="pandas")
-        .to_pandas()
-    )
-    return (
-        out.astype({"doc_id": "int64", "n_tok": "int64", "bin_id": "int64"})
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+    # the assignment is O(corpus) rows — stays a Dataset (pipe it to
+    # write_parquet at scale; the driver collects it only at oracle scale)
+    return with_counts.groupby("chunk").map_groups(
+        finish, batch_format="pandas"
     )
