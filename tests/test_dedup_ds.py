@@ -1,8 +1,9 @@
-"""The dedup ladder must be Dataset-native end-to-end (VERDICT r2 #1):
-no stage of the pair pipelines may collect the pair list (or anything
-bigger) to the driver.  We spy on ``Dataset.to_pandas`` and assert the
-only driver-side collection in the whole ladder is the two-int-column
-candidate id set of the n-gram verifier's semi-join broadcast."""
+"""The dedup ladder must be Dataset-native end-to-end (VERDICT r2 #1,
+r3 #3): no stage of the pair pipelines may collect the pair list (or
+anything bigger) to the driver.  We spy on ``Dataset.to_pandas`` and
+assert ZERO driver-side collections — since round 4 even the n-gram
+verifier's candidate ids move as a bucketed semi-join, not a collected
+set."""
 
 import ray.data as rd
 
@@ -35,13 +36,11 @@ def test_pair_datasets_collect_nothing(ray_session, monkeypatch):
     assert calls == [], f"driver-side collection in pair pipelines: {calls}"
 
 
-def test_ngram_verify_collects_only_candidate_ids(ray_session, monkeypatch):
+def test_ngram_verify_collects_nothing(ray_session, monkeypatch):
     calls = _spy(monkeypatch)
     n = dedup.ngram_jaccard_pairs_ds(SF, threshold=0.5).count()
     assert n > 0
-    assert all(
-        set(cols) <= {"doc_a", "doc_b"} for _, cols in calls
-    ), f"non-id collection during ngram verify: {calls}"
+    assert calls == [], f"driver-side collection during ngram verify: {calls}"
 
 
 def test_pair_memo_returns_copies(ray_session):
