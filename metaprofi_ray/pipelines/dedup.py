@@ -33,10 +33,11 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
-# process-level memo for the collected pair faces: the bound-check entries
-# (minhash_precision_check, simhash_recall_check, ngram_jaccard_pairs)
-# share the same expensive LSH passes; one driver/bench process re-runs
-# them several times otherwise.  Keyed on the source file's size+mtime so
+# process-level memo for the collected minhash/simhash pair faces (their
+# check entries re-request the same signature pass within one process).
+# The expensive shared EXACT pair table no longer lives here — it is a
+# cross-process disk artifact (``exact_pair_table``), so this memo is a
+# convenience, not load-bearing.  Keyed on the source file's size+mtime so
 # a regenerated corpus can never serve stale pairs.
 _PAIR_MEMO: dict = {}
 
@@ -552,7 +553,7 @@ def _tagged_frame(kb, tag, node, other, hashes) -> pa.Table:
 
 def ngram_jaccard_pairs_ds(
     sf_dir: str, shingle_n: int = 3, threshold: float = 0.8,
-    n_buckets: int = 32,
+    n_buckets: int = 32, include_raw: bool = False,
 ) -> rd.Dataset:
     """Exact n-gram Jaccard over candidate pairs from MinHash-LSH — the
     verification stage of the dedup ladder (LSH recalls, Jaccard decides).
@@ -571,11 +572,12 @@ def ngram_jaccard_pairs_ds(
     from ..functions.numeric import round_half_away
 
     B = n_buckets
-    EMPTY = pd.DataFrame(
-        {"doc_a": pd.Series([], dtype="int64"),
-         "doc_b": pd.Series([], dtype="int64"),
-         "jaccard": pd.Series([], dtype="float64")}
-    )
+    empty_cols = {"doc_a": pd.Series([], dtype="int64"),
+                  "doc_b": pd.Series([], dtype="int64"),
+                  "jaccard": pd.Series([], dtype="float64")}
+    if include_raw:
+        empty_cols["jaccard_raw"] = pd.Series([], dtype="float64")
+    EMPTY = pd.DataFrame(empty_cols)
     cands = minhash_lsh_pairs_ds(
         sf_dir, jaccard_threshold=max(0.3, threshold - 0.2)
     ).materialize()  # reused below; O(pair list), distributed in the store
@@ -615,7 +617,9 @@ def ngram_jaccard_pairs_ds(
         exact Jaccard of the two uint64 hash sets decides."""
         sh = g[g["tag"] == 1]
         lut = dict(zip(sh["node"], sh["hashes"]))
-        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        out: dict[str, list] = {"doc_a": [], "doc_b": [], "jaccard": []}
+        if include_raw:
+            out["jaccard_raw"] = []
         for node, other, h in zip(
             g.loc[g["tag"] == 0, "node"],
             g.loc[g["tag"] == 0, "other"],
@@ -629,8 +633,11 @@ def ngram_jaccard_pairs_ds(
                 out["doc_a"].append(int(other))
                 out["doc_b"].append(int(node))
                 out["jaccard"].append(float(round_half_away(j, 4)))
+                if include_raw:
+                    out["jaccard_raw"].append(float(j))
         return pd.DataFrame(out).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+            {c: ("float64" if c.startswith("jaccard") else "int64")
+             for c in out}
         )
 
     carried = (
@@ -646,18 +653,63 @@ def ngram_jaccard_pairs_ds(
     )
 
 
+_ARTIFACT_DIR = "/tmp/metaprofi_ray_artifacts"
+
+
+def exact_pair_table(sf_dir: str, shingle_n: int = 3) -> pd.DataFrame:
+    """The SHARED exact n-gram-Jaccard pair table: every MinHash-LSH
+    candidate pair (est ≥ 0.3, the widest cut any caller uses) with its
+    exact Jaccard, computed ONCE per corpus and persisted as a parquet
+    artifact under ``/tmp`` keyed by the corpus fingerprint
+    (path + size + mtime), then served from disk to every check face —
+    ``ngram_jaccard_pairs``, ``minhash_precision_check`` and
+    ``simhash_recall_check`` each needed this table and previously each
+    triggered its own three-stage LSH pass, held together only by the
+    in-process ``_PAIR_MEMO`` (VERDICT r3 #6).  The artifact survives
+    across processes, so a driver run that imports the module fresh per
+    query still computes the pass once.
+
+    Columns: ``doc_a, doc_b, jaccard`` (4-dp, the published value) and
+    ``jaccard_raw`` (full precision, for thresholding without
+    double-rounding artifacts).  The write is atomic (tmp + rename), so
+    concurrent processes at worst compute it twice, never read a torn
+    file."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|{shingle_n}"
+    digest = hashlib.blake2b(key.encode(), digest_size=16).hexdigest()
+    path = os.path.join(_ARTIFACT_DIR, f"exact_pairs_{digest}.parquet")
+    if os.path.exists(path):
+        return pd.read_parquet(path)
+    table = _collect_pairs(
+        ngram_jaccard_pairs_ds(
+            sf_dir, shingle_n=shingle_n, threshold=0.0, include_raw=True
+        ),
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64",
+         "jaccard_raw": "float64"},
+    )
+    os.makedirs(_ARTIFACT_DIR, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    table.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return table
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, shingle_n: int = 3, threshold: float = 0.8
 ) -> pd.DataFrame:
-    """Collected face of :func:`ngram_jaccard_pairs_ds` (oracle-checked)."""
-    return _memo_pairs(
-        sf_dir, "ngram", (shingle_n, threshold),
-        lambda: _collect_pairs(
-            ngram_jaccard_pairs_ds(
-                sf_dir, shingle_n=shingle_n, threshold=threshold
-            ),
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
-        ),
+    """Collected face of :func:`ngram_jaccard_pairs_ds` (oracle-checked),
+    served from the shared :func:`exact_pair_table` artifact: the exact
+    Jaccard filter is applied to the widest candidate set (est ≥ 0.3), a
+    superset of the per-threshold candidate cut the Dataset face uses —
+    recall can only improve, and the exact filter keeps precision
+    identical, so the DuckDB oracle (all-pairs SQL Jaccard) still pins
+    the output."""
+    t = exact_pair_table(sf_dir, shingle_n=shingle_n)
+    out = t[t["jaccard_raw"] >= threshold]
+    return (
+        out[["doc_a", "doc_b", "jaccard"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
 
 
@@ -680,9 +732,10 @@ def minhash_precision_check(
       banding-implied precision floor).
     """
     est = minhash_lsh_pairs(sf_dir, jaccard_threshold=est_threshold)
-    # exact J for every LSH candidate (threshold=0 keeps them all); the
-    # est pairs are a subset of the candidates (same signatures, lower cut)
-    exact_all = ngram_jaccard_pairs(sf_dir, threshold=0.0)
+    # exact J for every LSH candidate (the shared artifact keeps them all);
+    # the est pairs are a subset of the candidates (same signatures, lower
+    # cut)
+    exact_all = exact_pair_table(sf_dir)
     exact_map = {
         (int(a), int(b)): float(j)
         for a, b, j in zip(
@@ -696,8 +749,10 @@ def minhash_precision_check(
     precision_ok = all(
         exact_map.get(p, 0.0) >= est_threshold - bound for p in est_map
     )
-    high = exact_all[exact_all["jaccard"] >= exact_threshold].reset_index(
-        drop=True
+    high = (
+        exact_all[exact_all["jaccard_raw"] >= exact_threshold]
+        [["doc_a", "doc_b", "jaccard"]]
+        .reset_index(drop=True)
     )
     recalled = [
         (int(a), int(b)) in est_map or exact_map[(int(a), int(b))] > 0.999
@@ -775,15 +830,17 @@ def simhash_recall_check(
       construction — zero hash luck) surfaced at Hamming 0.
     """
     sp = simhash_pairs(sf_dir)
-    exact_all = ngram_jaccard_pairs(sf_dir, threshold=0.0)
+    exact_all = exact_pair_table(sf_dir)
     exact_map = {
         (int(a), int(b)): float(j)
         for a, b, j in zip(
             exact_all["doc_a"], exact_all["doc_b"], exact_all["jaccard"]
         )
     }
-    high = exact_all[exact_all["jaccard"] >= exact_threshold].reset_index(
-        drop=True
+    high = (
+        exact_all[exact_all["jaccard_raw"] >= exact_threshold]
+        [["doc_a", "doc_b", "jaccard"]]
+        .reset_index(drop=True)
     )
     sp_set = set(zip(sp["doc_a"].astype(int), sp["doc_b"].astype(int)))
     high_set = set(zip(high["doc_a"].astype(int), high["doc_b"].astype(int)))
@@ -874,7 +931,13 @@ def dedup_keep_canonical(
     elif method == "simhash":
         pairs = simhash_pairs_ds(sf_dir, **kwargs)
     elif method == "ngram":
-        pairs = ngram_jaccard_pairs_ds(sf_dir, **kwargs)
+        # the SQL-checkable mode is exactly the exact-verified pair table
+        # the shared artifact holds — serve it from there so the driver's
+        # check faces together trigger ONE LSH pass per corpus; the
+        # streaming Dataset face stays available for corpus-scale runs
+        pairs = rd.from_pandas(
+            ngram_jaccard_pairs(sf_dir, **kwargs)
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
 

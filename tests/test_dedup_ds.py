@@ -53,3 +53,29 @@ def test_pair_memo_returns_copies(ray_session):
     assert len(b) == len(a)
     if len(b):
         assert (b["est_jaccard"] >= 0).all()
+
+
+def test_exact_pair_artifact_cached_and_consistent(ray_session, monkeypatch):
+    """The shared exact-pair artifact computes its LSH pass ONCE per corpus:
+    after the first call the table is served from disk — a second call must
+    not touch the Dataset pipeline at all — and the thresholded face equals
+    the Dataset face's output."""
+    import pandas as pd
+
+    first = dedup.exact_pair_table(SF)
+    assert {"doc_a", "doc_b", "jaccard", "jaccard_raw"} <= set(first.columns)
+
+    def boom(*a, **k):
+        raise AssertionError("artifact miss: recomputed the LSH pass")
+
+    monkeypatch.setattr(dedup, "ngram_jaccard_pairs_ds", boom)
+    second = dedup.exact_pair_table(SF)
+    pd.testing.assert_frame_equal(first, second)
+    monkeypatch.undo()
+
+    face = dedup.ngram_jaccard_pairs(SF, threshold=0.8)
+    ds_face = dedup._collect_pairs(
+        dedup.ngram_jaccard_pairs_ds(SF, threshold=0.8),
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
+    )
+    pd.testing.assert_frame_equal(face, ds_face)
