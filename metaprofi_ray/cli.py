@@ -113,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--streaming", action="store_true",
                    help="stream the bank table instead of broadcasting it "
                         "(for indexes whose banks exceed worker memory)")
+    s.add_argument("--sources", default=None,
+                   help="comma-separated source names to restrict the "
+                        "(streaming) search to; prunes whole srcbucket "
+                        "directories at the read")
     s.add_argument("--theta-compat", choices=["exact", "reference"],
                    default="exact",
                    help="threshold arithmetic: integer-exact (default) or "
@@ -193,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 hits = query_index_streaming(
                     a.index_dir, pq.read_table(a.queries), theta=a.theta,
                     theta_compat=a.theta_compat,
+                    sources=a.sources.split(",") if a.sources else None,
                 )
             else:
                 hits = query_index(

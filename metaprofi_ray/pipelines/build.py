@@ -119,15 +119,38 @@ def merge_banks(
     )
 
 
+def write_banks(merged: rd.Dataset, banks_dir: str, src_buckets: int) -> None:
+    """Bank sink.  ``src_buckets > 0`` (the default layout) hive-partitions
+    by ``srcbucket = hash64(source) % src_buckets`` so each source's shard
+    rows land in one directory and source-restricted queries prune whole
+    dirs at the read (``bank_io.bank_files``); ``0`` writes the flat layout
+    (used for internal per-partition checkpoints)."""
+    if src_buckets > 0:
+        from functools import partial as _partial
+
+        merged = merged.map_batches(
+            _partial(bank_io.with_srcbucket, n=src_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        merged.write_parquet(
+            banks_dir, partition_cols=["srcbucket"], **bank_io.BANK_PARQUET_ARGS
+        )
+    else:
+        merged.write_parquet(banks_dir, **bank_io.BANK_PARQUET_ARGS)
+
+
 def build_index(
-    ds: rd.Dataset, cfg: SketchConfig, index_dir: str, salt_buckets: int = 0
+    ds: rd.Dataset, cfg: SketchConfig, index_dir: str, salt_buckets: int = 0,
+    src_buckets: int = bank_io.N_SRC_BUCKETS,
 ) -> str:
     """End-to-end build; returns index_dir.
 
     Refuses to overwrite an existing index, mirroring the reference's
     FileExistsError gate (zarrstore.py:219-221) — updates go through
     ``pipelines.update`` instead.  ``salt_buckets`` enables the two-level
-    skew-aware merge (see ``merge_banks``).
+    skew-aware merge (see ``merge_banks``); ``src_buckets`` sizes the
+    hive-partitioned bank layout (see ``write_banks``).
     """
     banks_dir = os.path.join(index_dir, bank_io.BANKS)
     if os.path.exists(os.path.join(index_dir, bank_io.MANIFEST)):
@@ -138,12 +161,15 @@ def build_index(
 
         shutil.rmtree(banks_dir)
     merged = merge_banks(partial_banks(ds, cfg), cfg, salt_buckets=salt_buckets)
-    merged.write_parquet(banks_dir, **bank_io.BANK_PARQUET_ARGS)
+    write_banks(merged, banks_dir, src_buckets)
     # sources before manifest: the manifest is the validity marker loaders
     # key on, so it lands last (a crash in between leaves a visibly
     # incomplete index, never a valid-looking one missing its summary)
     bank_io.write_sources_summary(index_dir, cfg)
-    bank_io.write_manifest(index_dir, cfg)
+    bank_io.write_manifest(
+        index_dir, cfg,
+        extra={"src_buckets": src_buckets} if src_buckets > 0 else None,
+    )
     return index_dir
 
 

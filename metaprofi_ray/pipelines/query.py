@@ -83,6 +83,7 @@ def query_index_streaming(
     theta: int = 100,
     concurrency: int | tuple[int, int] = (1, 8),
     theta_compat: str = "exact",
+    sources: list[str] | None = None,
 ) -> rd.Dataset:
     """Scale path: the BANK dataset streams (never broadcast, never fully in
     memory) while the query probe set is broadcast — for indexes whose
@@ -92,12 +93,16 @@ def query_index_streaming(
     is one small mask row per (query, source) pair constrained by each bank
     batch — never the query × source cross product — independent of m.
     See ``stages.probe_sharded`` for the protocol.
-    """
-    import os
 
+    ``sources`` restricts the search to those bank columns; on the (default)
+    hive srcbucket layout only the matching bucket directories are READ —
+    ``bank_io.bank_files`` exposes the pruned/total file counts a caller or
+    test can assert — and an exact membership filter inside the first
+    ``map_batches`` removes same-bucket neighbours.
+    """
     import pyarrow.parquet as pq
 
-    from ..sources.io import BANKS, read_manifest
+    from ..sources import io as bank_io
     from ..stages.probe_sharded import (
         QueryProbeSet,
         ShardProber,
@@ -106,24 +111,35 @@ def query_index_streaming(
 
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
-    cfg, _ = read_manifest(index_dir)
+    cfg, _ = bank_io.read_manifest(index_dir)
     probe_ref = ray.put(QueryProbeSet(queries, cfg))
-    banks_dir = os.path.join(index_dir, BANKS)
-    keys = pq.read_table(banks_dir, columns=["source", "shard_id"])
+    files, _total = bank_io.bank_files(index_dir, sources=sources)
+    keys = pq.read_table(files, columns=["source", "shard_id"])
     source_shards: dict[str, set[int]] = {}
+    src_filter = frozenset(sources) if sources else None
     for s, sid in zip(keys["source"].to_pylist(), keys["shard_id"].to_pylist()):
-        if sid >= 0:
+        if sid >= 0 and (src_filter is None or s in src_filter):
             source_shards.setdefault(s, set()).add(sid)
     source_shards_ref = ray.put(source_shards)
-    banks = rd.read_parquet(banks_dir, columns=["source", "shard_id", "bits"])
-    # a source whose shard rows scatter across B probe batches emits B×
-    # the mask rows of a co-located one; bank files are written (mostly)
-    # source-contiguous, so an ORDER-PRESERVING coalesce of adjacent small
-    # blocks (repartition without shuffle — no all-to-all) restores
-    # co-location.  Keep enough blocks for the actor pool to parallelize.
-    import glob as _glob
+    banks = rd.read_parquet(files, columns=["source", "shard_id", "bits"])
+    if src_filter is not None:
+        import pyarrow.compute as pc
 
-    n_files = len(_glob.glob(os.path.join(banks_dir, "*.parquet")))
+        allowed = pa.array(sorted(src_filter), pa.string())
+
+        def keep_sources(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["source"], value_set=allowed))
+
+        banks = banks.map_batches(
+            keep_sources, batch_format="pyarrow", zero_copy_batch=True
+        )
+    # a source whose shard rows scatter across B probe batches emits B×
+    # the mask rows of a co-located one; the srcbucket hive layout keeps a
+    # source's rows inside one directory (files stay sorted by bucket), so
+    # an ORDER-PRESERVING coalesce of adjacent small blocks (repartition
+    # without shuffle — no all-to-all) restores co-location.  Keep enough
+    # blocks for the actor pool to parallelize.
+    n_files = len(files)
     pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency
     target = max(2 * pool_max, n_files // 4)
     if n_files > target:

@@ -15,7 +15,7 @@ def index_summary(index_dir: str) -> dict:
     import pyarrow.parquet as pq
 
     sources = pq.read_table(os.path.join(index_dir, bank_io.SOURCES))
-    bank_files = glob.glob(os.path.join(index_dir, bank_io.BANKS, "*.parquet"))
+    bank_files, _ = bank_io.bank_files(index_dir)
     stored = sum(os.path.getsize(f) for f in bank_files)
     return {
         "config": doc["config"],

@@ -49,15 +49,22 @@ def update_index(
     if cfg is not None:
         old_cfg.validate_compatible(cfg)  # config frozen across updates
     old_banks = rd.read_parquet(os.path.join(index_dir, bank_io.BANKS))
+    if "srcbucket" in (old_banks.schema().names or []):
+        # the hive partition key is derived layout, not bank data — strip it
+        # before the union so flat partials and bucketed banks merge
+        old_banks = old_banks.drop_columns(["srcbucket"])
     new_partials = partial_banks(new_ds, old_cfg)
     merged = merge_banks(old_banks.union(new_partials), old_cfg)
-    merged.write_parquet(
-        os.path.join(out_dir, bank_io.BANKS), **bank_io.BANK_PARQUET_ARGS
-    )
+    src_buckets = int(old_doc.get("src_buckets") or bank_io.N_SRC_BUCKETS)
+    from .build import write_banks
+
+    write_banks(merged, os.path.join(out_dir, bank_io.BANKS), src_buckets)
     # sources before manifest (the validity marker lands last)
     bank_io.write_sources_summary(out_dir, old_cfg)
     bank_io.write_manifest(
-        out_dir, old_cfg, extra={"updated_from": os.path.abspath(index_dir)}
+        out_dir, old_cfg,
+        extra={"updated_from": os.path.abspath(index_dir),
+               "src_buckets": src_buckets},
     )
     return out_dir
 

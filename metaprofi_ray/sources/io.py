@@ -39,6 +39,66 @@ MANIFEST = "manifest.json"
 BANKS = "banks"
 SOURCES = "sources.parquet"
 
+# Default hive-partition fan-out for the bank layout: banks are written
+# under ``banks/srcbucket=<hash64(source) % N>/`` so (a) every shard row of
+# a source lands in ONE directory (the streaming prober's order-preserving
+# coalesce becomes a no-op instead of a correctness crutch) and (b) a
+# source-restricted query prunes whole directories at the read — the
+# bank-side mirror of what IVF cells do for ANN (TODO r3 §2).
+N_SRC_BUCKETS = 16
+
+
+def hash64_str(s: str) -> int:
+    """Cross-process-deterministic 64-bit string hash (Python ``hash`` is
+    salted per process and would split groupby keys / bucket layouts)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+    )
+
+
+def src_bucket(source: str, n: int = N_SRC_BUCKETS) -> int:
+    return hash64_str(source) % n
+
+
+def with_srcbucket(t: pa.Table, n: int) -> pa.Table:
+    """Append the hive-partition key column (post-merge rows only — one row
+    per (source, shard), so the per-row hash loop is off the hot path)."""
+    b = [src_bucket(s, n) for s in t["source"].to_pylist()]
+    return t.append_column("srcbucket", pa.array(b, pa.int32()))
+
+
+def bank_files(
+    index_dir: str, sources: list[str] | None = None
+) -> tuple[list[str], int]:
+    """Bank parquet files (sorted, so bucket dirs stay contiguous) and the
+    total file count.  With ``sources`` and a bucketed layout, returns only
+    the files under the srcbucket dirs those sources hash to — read
+    pruning the caller can assert (``len(files) < total``)."""
+    import glob
+    import re
+
+    banks_dir = os.path.join(index_dir, BANKS)
+    files = sorted(
+        glob.glob(os.path.join(banks_dir, "**", "*.parquet"), recursive=True)
+    )
+    total = len(files)
+    if not sources:
+        return files, total
+    _, doc = read_manifest(index_dir)
+    n = doc.get("src_buckets")
+    if not n:
+        return files, total  # flat (pre-bucketed) layout: no pruning
+    wanted = {src_bucket(s, int(n)) for s in sources}
+    pat = re.compile(r"srcbucket=(\d+)")
+    pruned = []
+    for f in files:
+        m = pat.search(f)
+        if m is None or int(m.group(1)) in wanted:
+            pruned.append(f)
+    return pruned, total
+
 
 def write_manifest(index_dir: str, cfg: SketchConfig, extra: dict | None = None) -> None:
     os.makedirs(index_dir, exist_ok=True)

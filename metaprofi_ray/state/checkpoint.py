@@ -141,8 +141,12 @@ def build_with_checkpoints(
             sorted(glob.glob(os.path.join(ckpt_root, f"partition={pid:05d}", "banks", "*.parquet")))
         )
     part_banks = rd.read_parquet(part_files)
-    merge_banks(part_banks, cfg).write_parquet(
-        banks_tmp, **bank_io.BANK_PARQUET_ARGS
+    # per-partition checkpoints stay flat (internal partials); only the
+    # published index gets the hive srcbucket layout
+    from ..pipelines.build import write_banks
+
+    write_banks(
+        merge_banks(part_banks, cfg), banks_tmp, bank_io.N_SRC_BUCKETS
     )
     # atomic-ish publish: invalidate FIRST (the manifest is the validity
     # marker BankIndex.load keys on), swap banks in one rename, then write
@@ -158,6 +162,7 @@ def build_with_checkpoints(
     bank_io.write_manifest(
         index_dir, cfg,
         extra={"checkpointed": True, "n_partitions": len(parts),
-               "resumed_partitions": report["resumed"]},
+               "resumed_partitions": report["resumed"],
+               "src_buckets": bank_io.N_SRC_BUCKETS},
     )
     return report

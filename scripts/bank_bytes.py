@@ -57,7 +57,7 @@ def main() -> int:
         shutil.rmtree(index_dir, ignore_errors=True)
         build_from_parquet(corpus, cfg, index_dir)
 
-    bank_files = sorted(glob.glob(os.path.join(index_dir, "banks", "*.parquet")))
+    bank_files = sorted(glob.glob(os.path.join(index_dir, "banks", "**", "*.parquet"), recursive=True))
     file_bytes = sum(os.path.getsize(f) for f in bank_files)
     banks = pq.read_table(os.path.join(index_dir, "banks"))
     mask = pa.compute.greater_equal(banks["shard_id"], 0)

@@ -58,7 +58,7 @@ class TestBuild:
         import os
 
         assert os.path.exists(index_dir + "/manifest.json")
-        assert glob.glob(index_dir + "/banks/*.parquet")
+        assert glob.glob(index_dir + "/banks/**/*.parquet", recursive=True)
         assert os.path.exists(index_dir + "/sources.parquet")
 
     def test_counts_match_oracle(self, index_dir, corpus_dir, oracle):

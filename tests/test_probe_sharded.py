@@ -71,3 +71,45 @@ def test_streaming_missing_shard_semantics(ray_session, tmp_path_factory):
     streaming = query_pipe.query_index_streaming(idx, queries, theta=100).to_pandas()
     assert _norm(streaming).equals(_norm(broadcast))
     assert "s0" in set(streaming["source"])
+
+
+def test_source_restricted_query_prunes_at_read(small_index):
+    """On the hive srcbucket layout a sources= query must read FEWER files
+    than the whole index holds (dir-level pruning) and return exactly the
+    full run's hits for those sources."""
+    from metaprofi_ray.sources import io as bank_io
+
+    corpus, idx = small_index
+    queries = make_queries(corpus, CFG.k, n_exact=12, n_negative=6)
+    full = query_pipe.query_index_streaming(idx, queries, theta=100).to_pandas()
+    assert len(full) > 0
+    # pick one source that actually has hits
+    target = sorted(full["source"])[0]
+    pruned_files, total = bank_io.bank_files(idx, sources=[target])
+    assert total > 0 and len(pruned_files) < total, (len(pruned_files), total)
+    restricted = query_pipe.query_index_streaming(
+        idx, queries, theta=100, sources=[target]
+    ).to_pandas()
+    expect = full[full["source"] == target]
+    assert _norm(restricted).equals(_norm(expect))
+
+
+def test_bank_files_flat_layout_no_prune(ray_session, tmp_path_factory):
+    """src_buckets=0 writes the flat layout; bank_files must then return
+    every file regardless of sources (no false pruning)."""
+    from metaprofi_ray.sources import io as bank_io
+
+    root = tmp_path_factory.mktemp("flat")
+    corpus = generate_corpus(str(root / "corpus"), n_sources=3, docs_total=120, k=8)
+    idx = str(root / "idx")
+    build_pipe.build_index(
+        build_pipe.read_tokens(sorted(glob.glob(corpus + "/*.parquet"))),
+        CFG, idx, src_buckets=0,
+    )
+    files, total = bank_io.bank_files(idx, sources=["anything"])
+    assert len(files) == total > 0
+    # flat + bucketed layouts answer queries identically
+    queries = make_queries(corpus, CFG.k, n_exact=5, n_negative=2)
+    hits = query_pipe.query_index_streaming(idx, queries, theta=100).to_pandas()
+    broadcast = query_pipe.query_table(idx, queries, theta=100).to_pandas()
+    assert _norm(hits).equals(_norm(broadcast))

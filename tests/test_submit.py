@@ -17,7 +17,7 @@ def test_submit_local_build(ray_session, tmp_path):
     rc = main(["--local", "--", "build", corpus, idx, "--m", str(1 << 16)])
     assert rc == 0
     assert os.path.exists(os.path.join(idx, "manifest.json"))
-    assert glob.glob(os.path.join(idx, "banks", "*.parquet"))
+    assert glob.glob(os.path.join(idx, "banks", "**", "*.parquet"), recursive=True)
 
 
 def test_submit_requires_command():
