@@ -117,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated source names to restrict the "
                         "(streaming) search to; prunes whole srcbucket "
                         "directories at the read")
+    s.add_argument("--distributed-probe", action="store_true",
+                   help="build the probe set as a Dataset (parallel prep, "
+                        "per-bucket probe slices) — the >>100k-query "
+                        "streaming mode; implies --streaming")
     s.add_argument("--theta-compat", choices=["exact", "reference"],
                    default="exact",
                    help="threshold arithmetic: integer-exact (default) or "
@@ -191,7 +195,15 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("search needs a query parquet path or --seq")
             import ray.data as rd
 
-            if a.streaming:
+            if a.distributed_probe:
+                from .pipelines.query import query_index_streaming_distributed
+
+                hits = query_index_streaming_distributed(
+                    a.index_dir, rd.read_parquet(a.queries), theta=a.theta,
+                    theta_compat=a.theta_compat,
+                    sources=a.sources.split(",") if a.sources else None,
+                )
+            elif a.streaming:
                 import pyarrow.parquet as pq
 
                 hits = query_index_streaming(

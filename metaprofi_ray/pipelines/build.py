@@ -119,22 +119,32 @@ def merge_banks(
     )
 
 
-def write_banks(merged: rd.Dataset, banks_dir: str, src_buckets: int) -> None:
+def write_banks(
+    merged: rd.Dataset, banks_dir: str, src_buckets: int,
+    shard_buckets: int = bank_io.N_SHARD_BUCKETS,
+) -> None:
     """Bank sink.  ``src_buckets > 0`` (the default layout) hive-partitions
     by ``srcbucket = hash64(source) % src_buckets`` so each source's shard
     rows land in one directory and source-restricted queries prune whole
-    dirs at the read (``bank_io.bank_files``); ``0`` writes the flat layout
-    (used for internal per-partition checkpoints)."""
+    dirs at the read (``bank_io.bank_files``), and by ``shardbucket =
+    shard_id % shard_buckets`` so the distributed-probe streaming path's
+    per-bucket probers read only their bucket's files; ``src_buckets=0``
+    writes the flat layout (used for internal per-partition
+    checkpoints)."""
     if src_buckets > 0:
         from functools import partial as _partial
 
         merged = merged.map_batches(
-            _partial(bank_io.with_srcbucket, n=src_buckets),
+            _partial(
+                bank_io.with_srcbucket, n=src_buckets,
+                shard_buckets=shard_buckets,
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        cols = ["srcbucket"] + (["shardbucket"] if shard_buckets > 0 else [])
         merged.write_parquet(
-            banks_dir, partition_cols=["srcbucket"], **bank_io.BANK_PARQUET_ARGS
+            banks_dir, partition_cols=cols, **bank_io.BANK_PARQUET_ARGS
         )
     else:
         merged.write_parquet(banks_dir, **bank_io.BANK_PARQUET_ARGS)
@@ -168,7 +178,11 @@ def build_index(
     bank_io.write_sources_summary(index_dir, cfg)
     bank_io.write_manifest(
         index_dir, cfg,
-        extra={"src_buckets": src_buckets} if src_buckets > 0 else None,
+        extra=(
+            {"src_buckets": src_buckets,
+             "shard_buckets": bank_io.N_SHARD_BUCKETS}
+            if src_buckets > 0 else None
+        ),
     )
     return index_dir
 

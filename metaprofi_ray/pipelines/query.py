@@ -162,6 +162,141 @@ def query_index_streaming(
     )
 
 
+def query_index_streaming_distributed(
+    index_dir: str,
+    queries: "rd.Dataset | pa.Table",
+    theta: int = 100,
+    concurrency: int | tuple[int, int] = (1, 8),
+    theta_compat: str = "exact",
+    sources: list[str] | None = None,
+    probeset_dir: str | None = None,
+) -> rd.Dataset:
+    """≫100k-query scale path: BOTH sides stream.  The probe set is never
+    built on the driver and never broadcast — a parallel ``map_batches``
+    pass hashes the query windows and writes a hive-partitioned probeset
+    (``sb=<shard bucket>`` entry slices + per-query meta under ``sb=-1``);
+    per-bucket prober actors load only their slice in ``__init__`` from the
+    bank layout's matching ``shardbucket=N`` files, and the reduce gets the
+    per-query finalization structure as co-shuffled meta rows.  See
+    ``stages.probe_distributed`` for the protocol; results equal
+    ``query_index`` / ``query_index_streaming`` (property-tested; requires
+    unique ``query_id`` values).
+
+    ``probeset_dir`` may be passed to reuse a prepared probe set across
+    calls (e.g. the same query panel against several indexes)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..sources import io as bank_io
+    from ..stages.probe_distributed import (
+        make_distributed_reduce,
+        meta_to_reduce_rows,
+        prep_probe_batch,
+        probe_bucket_batch,
+    )
+
+    if not 1 <= theta <= 100:
+        raise ValueError("theta must be in [1, 100]")
+    cfg, _ = bank_io.read_manifest(index_dir)
+    nsb = bank_io.shard_bucket_count(index_dir) or 1
+    pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+
+    if isinstance(queries, pa.Table):
+        qds = rd.from_arrow(queries)
+    else:
+        qds = queries
+    try:
+        if qds.num_blocks() < pool_max:
+            qds = qds.repartition(pool_max * 2)
+    except Exception:
+        pass
+    if probeset_dir is None:
+        probeset_dir = f"/tmp/metaprofi_probeset_{uuid.uuid4().hex[:12]}"
+    if not os.path.isdir(os.path.join(probeset_dir, "sb=-1")):
+        from functools import partial
+
+        qds.map_batches(
+            partial(prep_probe_batch, cfg=cfg, nsb=nsb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(probeset_dir, partition_cols=["sb"])
+    meta_dir = os.path.join(probeset_dir, "sb=-1")
+    if not os.path.isdir(meta_dir):
+        return rd.from_arrow(empty_hits())  # no query yields any window
+
+    # small driver-side source map (O(sources), the same two key columns
+    # the broadcast streaming path reads) — names + per-source shard sets
+    # for the reduce's missing-shard correction
+    all_files, _ = bank_io.bank_files(index_dir, sources=sources)
+    keys = pq.read_table(all_files, columns=["source", "shard_id"])
+    src_filter = frozenset(sources) if sources else None
+    source_shards: dict[str, set[int]] = {}
+    for s, sid in zip(keys["source"].to_pylist(), keys["shard_id"].to_pylist()):
+        if sid >= 0 and (src_filter is None or s in src_filter):
+            source_shards.setdefault(s, set()).add(sid)
+    source_shards_ref = ray.put(source_shards)
+
+    import pyarrow.compute as pc
+
+    allowed = (
+        pa.array(sorted(src_filter), pa.string()) if src_filter else None
+    )
+
+    def keep_sources(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], value_set=allowed))
+
+    mask_dses = []
+    per_sb_pool = max(1, pool_max // nsb)
+    for sb in range(nsb):
+        if nsb == 1:
+            files_sb = all_files
+        else:
+            files_sb, _ = bank_io.bank_files(
+                index_dir, sources=sources, shard_bucket=sb
+            )
+        if not files_sb:
+            continue
+        banks = rd.read_parquet(
+            files_sb, columns=["source", "shard_id", "bits"]
+        )
+        if allowed is not None:
+            banks = banks.map_batches(
+                keep_sources, batch_format="pyarrow", zero_copy_batch=True
+            )
+        target = max(2 * per_sb_pool, len(files_sb) // 4)
+        if len(files_sb) > target:
+            banks = banks.repartition(target)
+        from functools import partial
+
+        mask_dses.append(
+            banks.map_batches(
+                partial(
+                    probe_bucket_batch,
+                    probeset_dir=probeset_dir, sb=sb, cfg=cfg,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+                num_cpus=1,
+            )
+        )
+    meta_rows = rd.read_parquet(
+        meta_dir, columns=["kb", "qh", "qid", "nw", "c_shard", "c_win"]
+    ).map_batches(meta_to_reduce_rows, batch_format="pyarrow")
+    if not mask_dses:
+        return rd.from_arrow(empty_hits())
+    combined = mask_dses[0]
+    for ds in mask_dses[1:]:
+        combined = combined.union(ds)
+    combined = combined.union(meta_rows)
+    return combined.groupby("kb").map_groups(
+        make_distributed_reduce(theta, source_shards_ref,
+                                theta_compat=theta_compat),
+        batch_format="pyarrow",
+    )
+
+
 def query_table(
     index_dir: str, queries: pa.Table, theta: int = 100,
     theta_compat: str = "exact",

@@ -49,10 +49,14 @@ def update_index(
     if cfg is not None:
         old_cfg.validate_compatible(cfg)  # config frozen across updates
     old_banks = rd.read_parquet(os.path.join(index_dir, bank_io.BANKS))
-    if "srcbucket" in (old_banks.schema().names or []):
-        # the hive partition key is derived layout, not bank data — strip it
-        # before the union so flat partials and bucketed banks merge
-        old_banks = old_banks.drop_columns(["srcbucket"])
+    layout_cols = [
+        c for c in ("srcbucket", "shardbucket")
+        if c in (old_banks.schema().names or [])
+    ]
+    if layout_cols:
+        # the hive partition keys are derived layout, not bank data — strip
+        # them before the union so flat partials and bucketed banks merge
+        old_banks = old_banks.drop_columns(layout_cols)
     new_partials = partial_banks(new_ds, old_cfg)
     merged = merge_banks(old_banks.union(new_partials), old_cfg)
     src_buckets = int(old_doc.get("src_buckets") or bank_io.N_SRC_BUCKETS)
@@ -64,7 +68,8 @@ def update_index(
     bank_io.write_manifest(
         out_dir, old_cfg,
         extra={"updated_from": os.path.abspath(index_dir),
-               "src_buckets": src_buckets},
+               "src_buckets": src_buckets,
+               "shard_buckets": bank_io.N_SHARD_BUCKETS},
     )
     return out_dir
 

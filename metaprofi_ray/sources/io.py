@@ -47,6 +47,14 @@ SOURCES = "sources.parquet"
 # bank-side mirror of what IVF cells do for ANN (TODO r3 §2).
 N_SRC_BUCKETS = 16
 
+# Second hive key: ``shardbucket = shard_id % N_SHARD_BUCKETS``.  The
+# distributed-probe streaming path (stages.probe_distributed) co-partitions
+# the probe set with the banks by shard bucket; with this key in the layout
+# each per-bucket prober sub-pipeline reads ONLY its bucket's bank files —
+# no read amplification, no bank shuffle.  Stats rows (shard_id = -1) land
+# in ``shardbucket=-1``.
+N_SHARD_BUCKETS = 8
+
 
 def hash64_str(s: str) -> int:
     """Cross-process-deterministic 64-bit string hash (Python ``hash`` is
@@ -62,20 +70,31 @@ def src_bucket(source: str, n: int = N_SRC_BUCKETS) -> int:
     return hash64_str(source) % n
 
 
-def with_srcbucket(t: pa.Table, n: int) -> pa.Table:
-    """Append the hive-partition key column (post-merge rows only — one row
-    per (source, shard), so the per-row hash loop is off the hot path)."""
+def with_srcbucket(t: pa.Table, n: int, shard_buckets: int = 0) -> pa.Table:
+    """Append the hive-partition key column(s) (post-merge rows only — one
+    row per (source, shard), so the per-row hash loop is off the hot
+    path)."""
     b = [src_bucket(s, n) for s in t["source"].to_pylist()]
-    return t.append_column("srcbucket", pa.array(b, pa.int32()))
+    t = t.append_column("srcbucket", pa.array(b, pa.int32()))
+    if shard_buckets > 0:
+        sid = np.asarray(t["shard_id"].to_numpy(zero_copy_only=False))
+        sb = np.where(sid >= 0, sid % shard_buckets, -1).astype(np.int32)
+        t = t.append_column("shardbucket", pa.array(sb, pa.int32()))
+    return t
 
 
 def bank_files(
-    index_dir: str, sources: list[str] | None = None
+    index_dir: str,
+    sources: list[str] | None = None,
+    shard_bucket: int | None = None,
 ) -> tuple[list[str], int]:
     """Bank parquet files (sorted, so bucket dirs stay contiguous) and the
     total file count.  With ``sources`` and a bucketed layout, returns only
     the files under the srcbucket dirs those sources hash to — read
-    pruning the caller can assert (``len(files) < total``)."""
+    pruning the caller can assert (``len(files) < total``).
+    ``shard_bucket`` additionally restricts to one shardbucket dir (plus
+    the stats dir is always EXCLUDED when a shard_bucket is requested);
+    on layouts without the shardbucket key the full list is returned."""
     import glob
     import re
 
@@ -84,20 +103,33 @@ def bank_files(
         glob.glob(os.path.join(banks_dir, "**", "*.parquet"), recursive=True)
     )
     total = len(files)
-    if not sources:
+    if not sources and shard_bucket is None:
         return files, total
     _, doc = read_manifest(index_dir)
-    n = doc.get("src_buckets")
-    if not n:
-        return files, total  # flat (pre-bucketed) layout: no pruning
-    wanted = {src_bucket(s, int(n)) for s in sources}
-    pat = re.compile(r"srcbucket=(\d+)")
-    pruned = []
-    for f in files:
-        m = pat.search(f)
-        if m is None or int(m.group(1)) in wanted:
-            pruned.append(f)
-    return pruned, total
+    if sources and doc.get("src_buckets"):
+        n = int(doc["src_buckets"])
+        wanted = {src_bucket(s, n) for s in sources}
+        pat = re.compile(r"srcbucket=(-?\d+)")
+        files = [
+            f for f in files
+            if (m := pat.search(f)) is None or int(m.group(1)) in wanted
+        ]
+    if shard_bucket is not None and doc.get("shard_buckets"):
+        pat = re.compile(r"shardbucket=(-?\d+)")
+        files = [
+            f for f in files
+            if (m := pat.search(f)) is not None
+            and int(m.group(1)) == shard_bucket
+        ]
+    return files, total
+
+
+def shard_bucket_count(index_dir: str) -> int:
+    """Shard buckets recorded in the manifest; 0 for layouts without the
+    shardbucket hive key (distributed-probe callers fall back to one
+    bucket reading everything)."""
+    _, doc = read_manifest(index_dir)
+    return int(doc.get("shard_buckets") or 0)
 
 
 def write_manifest(index_dir: str, cfg: SketchConfig, extra: dict | None = None) -> None:

@@ -163,6 +163,7 @@ def build_with_checkpoints(
         index_dir, cfg,
         extra={"checkpointed": True, "n_partitions": len(parts),
                "resumed_partitions": report["resumed"],
-               "src_buckets": bank_io.N_SRC_BUCKETS},
+               "src_buckets": bank_io.N_SRC_BUCKETS,
+               "shard_buckets": bank_io.N_SHARD_BUCKETS},
     )
     return report
