@@ -194,7 +194,7 @@ def query_index_streaming_distributed(
         make_distributed_reduce,
         meta_to_reduce_rows,
         prep_probe_batch,
-        probe_bucket_batch,
+        probe_any_batch,
     )
 
     if not 1 <= theta <= 100:
@@ -247,49 +247,36 @@ def query_index_streaming_distributed(
     def keep_sources(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["source"], value_set=allowed))
 
-    mask_dses = []
-    per_sb_pool = max(1, pool_max // nsb)
-    for sb in range(nsb):
-        if nsb == 1:
-            files_sb = all_files
-        else:
-            files_sb, _ = bank_io.bank_files(
-                index_dir, sources=sources, shard_bucket=sb
-            )
-        if not files_sb:
-            continue
-        banks = rd.read_parquet(
-            files_sb, columns=["source", "shard_id", "bits"]
+    if not all_files:
+        return rd.from_arrow(empty_hits())
+    banks = rd.read_parquet(
+        all_files, columns=["source", "shard_id", "bits"]
+    )
+    if allowed is not None:
+        banks = banks.map_batches(
+            keep_sources, batch_format="pyarrow", zero_copy_batch=True
         )
-        if allowed is not None:
-            banks = banks.map_batches(
-                keep_sources, batch_format="pyarrow", zero_copy_batch=True
-            )
-        target = max(2 * per_sb_pool, len(files_sb) // 4)
-        if len(files_sb) > target:
-            banks = banks.repartition(target)
-        from functools import partial
+    # ONE prober pipeline over all shard buckets (tasks split batches by
+    # sb themselves) — per-bucket sub-pipelines cost NSB reads +
+    # repartitions + a union barrier tree, pure overhead for small query
+    # sets.  Coalesce only when the file count is genuinely fragmented;
+    # files are sorted by bucket dir so adjacent blocks share a bucket.
+    n_files = len(all_files)
+    target = max(2 * pool_max, n_files // 4)
+    if n_files > max(32, target):
+        banks = banks.repartition(target)
+    from functools import partial
 
-        mask_dses.append(
-            banks.map_batches(
-                partial(
-                    probe_bucket_batch,
-                    probeset_dir=probeset_dir, sb=sb, cfg=cfg,
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
-                num_cpus=1,
-            )
-        )
+    masks = banks.map_batches(
+        partial(probe_any_batch, probeset_dir=probeset_dir, nsb=nsb, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=None,
+        num_cpus=1,
+    )
     meta_rows = rd.read_parquet(
         meta_dir, columns=["kb", "qh", "qid", "nw", "c_shard", "c_win"]
     ).map_batches(meta_to_reduce_rows, batch_format="pyarrow")
-    if not mask_dses:
-        return rd.from_arrow(empty_hits())
-    combined = mask_dses[0]
-    for ds in mask_dses[1:]:
-        combined = combined.union(ds)
-    combined = combined.union(meta_rows)
+    combined = masks.union(meta_rows)
     return combined.groupby("kb").map_groups(
         make_distributed_reduce(theta, source_shards_ref,
                                 theta_compat=theta_compat),

@@ -267,6 +267,35 @@ def probe_bucket_batch(
     return _probe_with_plan(plan, bank_batch, nkb)
 
 
+def probe_any_batch(
+    bank_batch: pa.Table, *, probeset_dir: str, nsb: int, cfg: SketchConfig,
+    nkb: int = N_REDUCE_BUCKETS,
+) -> pa.Table:
+    """Single-pipeline prober: ONE read of the bank files feeds one task
+    pool; each task splits its batch by ``sb = shard_id % nsb`` and probes
+    every slice against that bucket's plan (plan memo shared per worker).
+    With the hive shardbucket layout a block is one file = one bucket, so
+    the split is usually a no-op — but this stage stays correct on any
+    block layout, and collapsing NSB sub-pipelines into one removes NSB
+    reads, repartitions and a union tree of per-pipeline barriers (the
+    fixed overhead that dominated small query sets)."""
+    if bank_batch.num_rows == 0:
+        return MASK_SCHEMA.empty_table()
+    sid = np.asarray(bank_batch["shard_id"].to_numpy(zero_copy_only=False))
+    ok = sid >= 0
+    sb_row = np.where(ok, sid % nsb, -1)
+    present = [int(s) for s in np.unique(sb_row) if s >= 0]
+    parts = []
+    for sb in present:
+        sel = sb_row == sb
+        sub = bank_batch if sel.all() else bank_batch.filter(pa.array(sel))
+        plan = _plan_for(probeset_dir, sb, cfg)
+        parts.append(_probe_with_plan(plan, sub, nkb))
+    if not parts:
+        return MASK_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
 def _probe_with_plan(
     plan: "SliceProbePlan", bank_batch: pa.Table, nkb: int
 ) -> pa.Table:
@@ -286,7 +315,31 @@ def _probe_with_plan(
         )
         if valid.size == 0:
             return empty
-        src_names = sorted({str(s) for s in sources[valid]})
+        all_src = sorted({str(s) for s in sources[valid]})
+        # the (sources × total-window-bits) work matrix grows with the
+        # query count; at the 1M-query tier it would be tens of MB per
+        # source, so process the batch in source chunks bounded to
+        # ~128 MB of matrix — output tables concatenate seamlessly
+        L_bits = plan.template.size
+        per_chunk = max(1, (1 << 27) // max(L_bits, 1))
+        if len(all_src) > per_chunk:
+            chunks = [
+                all_src[i : i + per_chunk]
+                for i in range(0, len(all_src), per_chunk)
+            ]
+            parts = []
+            for chunk in chunks:
+                keep = np.isin(
+                    np.array([str(s) for s in sources], dtype=object),
+                    np.array(chunk, dtype=object),
+                )
+                parts.append(
+                    _probe_with_plan(
+                        plan, bank_batch.filter(pa.array(keep)), nkb
+                    )
+                )
+            return pa.concat_tables(parts)
+        src_names = all_src
         src_slot = {s: i for i, s in enumerate(src_names)}
         S = len(src_names)
         Q = plan.n_queries
