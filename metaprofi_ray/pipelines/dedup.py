@@ -291,22 +291,41 @@ def minhash_lsh_pairs_ds(
     )
 
     def pair_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+        """Pair every LSH bucket's members.  One vectorized triu compare
+        per bucket (a Python pair loop here cost 278 s on the 10×
+        duplicate-heavy tier — 3.6M per-pair numpy calls; this form does
+        the same work in one (P, n_perm) equality reduction per bucket)."""
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        e_out: list[np.ndarray] = []
         for (_, _), bucket in g.groupby(["band", "key"], sort=False):
-            if len(bucket) < 2:
+            B = len(bucket)
+            if B < 2:
                 continue
             bucket = bucket.sort_values("doc_id")
-            docs = bucket["doc_id"].tolist()
-            sigs = [np.asarray(s, dtype=np.uint64) for s in bucket["sig"]]
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    est = float((sigs[i] == sigs[j]).mean())
-                    if est >= jaccard_threshold:
-                        out["doc_a"].append(docs[i])
-                        out["doc_b"].append(docs[j])
-                        out["est_jaccard"].append(round(est, 4))
-        return pd.DataFrame(out).astype(
-            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
+            docs = bucket["doc_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(s, dtype=np.uint64) for s in bucket["sig"]]
+            )
+            ii, jj = np.triu_indices(B, k=1)
+            est = (mat[ii] == mat[jj]).mean(axis=1)
+            keep = est >= jaccard_threshold
+            if keep.any():
+                a_out.append(docs[ii[keep]])
+                b_out.append(docs[jj[keep]])
+                e_out.append(np.round(est[keep], 4))
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_out),
+                "doc_b": np.concatenate(b_out),
+                "est_jaccard": np.concatenate(e_out),
+            }
         )
 
     pairs = exploded.groupby("kb").map_groups(
@@ -424,22 +443,37 @@ def simhash_pairs_ds(
         )
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        """One vectorized triu xor+popcount per bucket (the per-row loop
+        cost ~55 s on the 10× duplicate-heavy tier)."""
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
         for (_, _), bucket in g.groupby(["block", "key"], sort=False):
-            if len(bucket) < 2:
+            B = len(bucket)
+            if B < 2:
                 continue
             bucket = bucket.sort_values("doc_id")
-            docs = bucket["doc_id"].tolist()
+            docs = bucket["doc_id"].to_numpy(dtype=np.int64)
             shs = bucket["simhash"].to_numpy(dtype=np.uint64)
-            for i in range(len(docs)):
-                x = shs[i] ^ shs[i + 1 :]
-                d = _popcount64(x)
-                for off in np.nonzero(d <= max_hamming)[0]:
-                    out["doc_a"].append(docs[i])
-                    out["doc_b"].append(docs[i + 1 + off])
-                    out["hamming"].append(int(d[off]))
-        return pd.DataFrame(out).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+            ii, jj = np.triu_indices(B, k=1)
+            d = _popcount64(shs[ii] ^ shs[jj])
+            keep = d <= max_hamming
+            if keep.any():
+                a_out.append(docs[ii[keep]])
+                b_out.append(docs[jj[keep]])
+                h_out.append(d[keep].astype(np.int64))
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_out),
+                "doc_b": np.concatenate(b_out),
+                "hamming": np.concatenate(h_out),
+            }
         )
 
     pairs = (

@@ -111,7 +111,7 @@ def query_index_streaming(
 
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
-    cfg, _ = bank_io.read_manifest(index_dir)
+    cfg, doc = bank_io.read_manifest(index_dir)
     probe_ref = ray.put(QueryProbeSet(queries, cfg))
     files, _total = bank_io.bank_files(index_dir, sources=sources)
     keys = pq.read_table(files, columns=["source", "shard_id"])
@@ -134,14 +134,23 @@ def query_index_streaming(
             keep_sources, batch_format="pyarrow", zero_copy_batch=True
         )
     # a source whose shard rows scatter across B probe batches emits B×
-    # the mask rows of a co-located one; the srcbucket hive layout keeps a
-    # source's rows inside one directory (files stay sorted by bucket), so
-    # an ORDER-PRESERVING coalesce of adjacent small blocks (repartition
-    # without shuffle — no all-to-all) restores co-location.  Keep enough
-    # blocks for the actor pool to parallelize.
+    # the mask rows of a co-located one.  The srcbucket hive layout keeps a
+    # source's rows inside ONE srcbucket directory but SPREAD over its
+    # shardbucket subdirs, so the ORDER-PRESERVING coalesce (repartition
+    # without shuffle — no all-to-all) must target one block per srcbucket
+    # dir: the sorted file list keeps each dir's files adjacent, and rows
+    # hash-distribute evenly across srcbuckets, so a row-count split at
+    # n_srcbuckets blocks lines up with dir boundaries.  (A row-count
+    # target ignoring dirs split every source across ~8 shardbucket files
+    # and inflated reduce volume ~8× — measured 4 s → 10 s at 10k
+    # queries.)  Flat layouts keep the old fragmentation-based target.
     n_files = len(files)
     pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency
-    target = max(2 * pool_max, n_files // 4)
+    n_srcbuckets = int(doc.get("src_buckets") or 0)
+    if n_srcbuckets > 0:
+        target = max(n_srcbuckets, 2 * pool_max)
+    else:
+        target = max(2 * pool_max, n_files // 4)
     if n_files > target:
         banks = banks.repartition(target)
     masks = banks.map_batches(
