@@ -54,14 +54,58 @@ def _dedupe_pairs(
     pairs: rd.Dataset, keys: tuple[str, str], val: str, how: str
 ) -> rd.Dataset:
     """Distributed cross-band/cross-table pair dedupe: a pair surfacing in
-    several LSH bands keeps its best score via ``groupby(pair).aggregate``.
-    The shuffle input is the pair list itself (never the corpus), and the
-    result stays a Dataset the caller can write out or stream into
-    ``cc.connected_components`` — no driver-side pandas hop."""
-    from ray.data.aggregate import Max, Min
+    several LSH bands keeps its best score.  The shuffle input is the pair
+    list itself (never the corpus), and the result stays a Dataset the
+    caller can write out or stream into ``cc.connected_components`` — no
+    driver-side pandas hop.
 
-    agg = Max(val, alias_name=val) if how == "max" else Min(val, alias_name=val)
-    return pairs.groupby(list(keys)).aggregate(agg)
+    Implemented as a COARSE-bucket groupby (64 groups) with one
+    lexsort + ``reduceat`` per group, not ``groupby(pair).aggregate``:
+    Ray's per-distinct-key aggregate cost ~150 s on a 2.8M-row pair list
+    with 249k distinct pairs (10× duplicate-heavy tier), while the
+    bucketed form does the same dedupe in seconds and keeps the shuffle
+    at 64 fixed-width groups."""
+    ka, kb_name = keys
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t[ka].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[kb_name].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ b.astype(np.uint64)
+        ) % np.uint64(n_buckets)
+        return t.append_column("kb2", pa.array(h.astype(np.int32)))
+
+    def dedupe_group(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [g.schema.field(ka), g.schema.field(kb_name),
+             g.schema.field(val)]
+        )
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        a = g[ka].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g[kb_name].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[val].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s, v_s = a[order], b[order], v[order]
+        change = (np.diff(a_s) != 0) | (np.diff(b_s) != 0)
+        seg = np.concatenate([[0], np.flatnonzero(change) + 1])
+        red = np.maximum if how == "max" else np.minimum
+        best = red.reduceat(v_s, seg)
+        return pa.table(
+            {ka: pa.array(a_s[seg]), kb_name: pa.array(b_s[seg]),
+             val: pa.array(best, out_schema.field(val).type)},
+            schema=out_schema,
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("kb2")
+        .map_groups(dedupe_group, batch_format="pyarrow")
+    )
 
 
 def _collect_pairs(ds: rd.Dataset, schema: dict[str, str]) -> pd.DataFrame:
@@ -253,13 +297,26 @@ def minhash_lsh_pairs_ds(
     driver, so the result stays a Dataset end-to-end."""
     rows_per_band = n_perm // bands
 
+    sig_bytes = n_perm * 8
+    EXPLODE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("band", pa.int32()),
+            ("key", pa.uint64()),
+            ("kb", pa.int32()),
+            ("sig", pa.large_binary()),
+        ]
+    )
+
     class SignExplode(MinHashSigner):
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            # ARROW output with the signature as fixed-width binary: an
+            # object column of numpy arrays pickles per element through
+            # the shuffle — at the 10× duplicate-heavy tier that pandas
+            # form cost ~300 s of (de)serialization alone
             sigs = MinHashSigner.__call__(self, df)
             if len(sigs) == 0:
-                return pd.DataFrame(
-                    {"doc_id": [], "band": [], "key": [], "kb": [], "sig": []}
-                )
+                return EXPLODE_SCHEMA.empty_table()
             mat = np.stack(sigs["sig"].to_numpy())  # (n_docs, n_perm) uint64
             n = len(sigs)
             # vectorized band keys: murmur-mix the band's minima lanes
@@ -273,14 +330,30 @@ def minhash_lsh_pairs_ds(
                     acc ^= lane
                     acc *= U64(0xC4CEB9FE1A85EC53)
                 keys[:, b] = acc ^ U64(b)
-            return pd.DataFrame(
+            rep = np.repeat(np.arange(n), bands)
+            buf = mat.astype("<u8")[rep].tobytes()
+            offsets = (
+                np.arange(n * bands + 1, dtype=np.int64) * sig_bytes
+            )
+            sig_arr = pa.Array.from_buffers(
+                pa.large_binary(), n * bands,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)],
+            )
+            return pa.table(
                 {
-                    "doc_id": np.repeat(sigs["doc_id"].to_numpy(), bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "key": keys.reshape(-1),
-                    "kb": (keys.reshape(-1) % U64(n_buckets)).astype(np.int32),
-                    "sig": [s for s in sigs["sig"] for _ in range(bands)],
-                }
+                    "doc_id": pa.array(
+                        np.repeat(
+                            sigs["doc_id"].to_numpy().astype(np.int64), bands
+                        )
+                    ),
+                    "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    "key": pa.array(keys.reshape(-1)),
+                    "kb": pa.array(
+                        (keys.reshape(-1) % U64(n_buckets)).astype(np.int32)
+                    ),
+                    "sig": sig_arr,
+                },
+                schema=EXPLODE_SCHEMA,
             )
 
     exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -290,46 +363,69 @@ def minhash_lsh_pairs_ds(
         concurrency=(1, 8),
     )
 
-    def pair_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
-        """Pair every LSH bucket's members.  One vectorized triu compare
-        per bucket (a Python pair loop here cost 278 s on the 10×
-        duplicate-heavy tier — 3.6M per-pair numpy calls; this form does
-        the same work in one (P, n_perm) equality reduction per bucket)."""
+    PAIRS_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("est_jaccard", pa.float64())]
+    )
+
+    def pair_bucket_group(g: pa.Table) -> pa.Table:
+        """Pair every LSH bucket's members.  Arrow in, arrow out: the sig
+        matrix decodes ONCE per group from the fixed-width binary buffer
+        (no per-row objects), buckets segment via one lexsort, and each
+        bucket does one (P, n_perm) triu equality reduction."""
+        n = g.num_rows
+        if n < 2:
+            return PAIRS_SCHEMA.empty_table()
+        band = g["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = g["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        docs = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sig_col = g["sig"].combine_chunks()
+        if sig_col.type != pa.large_binary():
+            # a shuffle hop may narrow to 32-bit-offset binary
+            sig_col = sig_col.cast(pa.large_binary())
+        off = np.frombuffer(sig_col.buffers()[1], dtype=np.int64)[
+            sig_col.offset : sig_col.offset + n + 1
+        ]
+        data = np.frombuffer(sig_col.buffers()[2], dtype=np.uint8)
+        # fixed-width rows: gather each row's slice (handles non-contiguous
+        # post-shuffle offsets), then view as the (n, n_perm) lane matrix
+        gather = off[:-1, None] + np.arange(sig_bytes)[None, :]
+        mat = (
+            data[gather].reshape(n, sig_bytes).view("<u8")
+        )
+        order = np.lexsort((docs, key, band))
+        band_s, key_s = band[order], key[order]
+        change = (np.diff(band_s) != 0) | (np.diff(key_s) != 0)
+        seg = np.concatenate([[0], np.flatnonzero(change) + 1])
+        seg_end = np.concatenate([seg[1:], [n]])
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
         e_out: list[np.ndarray] = []
-        for (_, _), bucket in g.groupby(["band", "key"], sort=False):
-            B = len(bucket)
+        for s0, s1 in zip(seg, seg_end):
+            B = s1 - s0
             if B < 2:
                 continue
-            bucket = bucket.sort_values("doc_id")
-            docs = bucket["doc_id"].to_numpy(dtype=np.int64)
-            mat = np.stack(
-                [np.asarray(s, dtype=np.uint64) for s in bucket["sig"]]
-            )
+            rows = order[s0:s1]  # already doc_id-sorted by the lexsort
             ii, jj = np.triu_indices(B, k=1)
-            est = (mat[ii] == mat[jj]).mean(axis=1)
+            est = (mat[rows[ii]] == mat[rows[jj]]).mean(axis=1)
             keep = est >= jaccard_threshold
             if keep.any():
-                a_out.append(docs[ii[keep]])
-                b_out.append(docs[jj[keep]])
+                a_out.append(docs[rows[ii[keep]]])
+                b_out.append(docs[rows[jj[keep]]])
                 e_out.append(np.round(est[keep], 4))
         if not a_out:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
-        return pd.DataFrame(
+            return PAIRS_SCHEMA.empty_table()
+        return pa.table(
             {
-                "doc_a": np.concatenate(a_out),
-                "doc_b": np.concatenate(b_out),
-                "est_jaccard": np.concatenate(e_out),
-            }
+                "doc_a": pa.array(np.concatenate(a_out).astype(np.int64)),
+                "doc_b": pa.array(np.concatenate(b_out).astype(np.int64)),
+                "est_jaccard": pa.array(np.concatenate(e_out)),
+            },
+            schema=PAIRS_SCHEMA,
         )
 
     pairs = exploded.groupby("kb").map_groups(
-        pair_bucket_group, batch_format="pandas"
+        pair_bucket_group, batch_format="pyarrow"
     )
     return _dedupe_pairs(pairs, ("doc_a", "doc_b"), "est_jaccard", "max")
 
