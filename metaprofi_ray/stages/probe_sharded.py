@@ -280,6 +280,10 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
 
     # ray.get once per WORKER (closure cache), not once per group
     cache: dict = {}
+    # per-source packed missing-shard correction (see _get_corr), cached
+    # per worker — the set of incomplete sources is a property of the
+    # index, not of the bucket
+    corr_cache: dict[int, np.ndarray] = {}
 
     POP = np.array(
         [bin(i).count("1") for i in range(256)], dtype=np.int64
@@ -306,6 +310,16 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
                 int(_str_hash64(s)): probed - sh
                 for s, sh in src_shards.items()
             }
+            p = cache["probe"]
+            # global window id -> its bit position in the byte-aligned
+            # packed layout (each query padded to a byte boundary)
+            w_query = np.repeat(
+                np.arange(p.n_queries, dtype=np.int64), p.wins_per_query
+            )
+            cache["win_bit"] = p.g_bit_off[w_query] + (
+                np.arange(p.n_wins_total, dtype=np.int64)
+                - p.win_offset[w_query]
+            )
         probe: QueryProbeSet = cache["probe"]
         hash2src = cache["hash2src"]
         complete = cache["complete"]
@@ -335,69 +349,67 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
         seg_end = np.concatenate([seg[1:], [len(order)]])
         first = order[seg]  # one representative row per pair
 
-        out: dict[str, list] = {
-            "query_id": [], "source": [], "wins_found": [],
-            "n_wins": [], "fraction": [],
-        }
-
-        def finalize_slow(p: int) -> None:
-            rows = order[seg[p] : seg_end[p]]
-            r0 = rows[0]
-            acc = vals[off[r0] : off[r0] + lens[r0]].copy()
-            for r in rows[1:]:
-                acc &= vals[off[r] : off[r] + lens[r]]
-            q = int(qi[r0])
-            lo = int(probe.win_offset[q])
-            nw = int(probe.wins_per_query[q])
-            if nw == 0:
-                return
-            bits = np.unpackbits(acc, bitorder="little")[:nw].astype(bool)
-            for sid in missing[int(si[r0])]:
-                bits &= ~probe.shard_win_mask[sid][lo : lo + nw]
-            found = int(bits.sum())
-            if found < int(min_windows(nw, theta, theta_compat)):
-                return
-            out["query_id"].append(probe.qid_arr[q])
-            out["source"].append(hash2src[int(si[r0])])
-            out["wins_found"].append(found)
-            out["n_wins"].append(nw)
-            out["fraction"].append(round(found * 100.0 / nw, 2))
+        def get_corr(h: int) -> np.ndarray:
+            """Packed missing-shard correction for an incomplete source:
+            byte layout identical to the global mask pack, with every
+            window constrained by a shard the source has NO bank row for
+            cleared (a missing row means ABSENT bits, not vacuous)."""
+            c = corr_cache.get(h)
+            if c is None:
+                bad = np.zeros(probe.n_wins_total, dtype=bool)
+                for sid in missing[h]:
+                    bad |= probe.shard_win_mask[sid]
+                corr_bits = np.ones(probe.g_template.size, dtype=bool)
+                corr_bits[cache["win_bit"][bad]] = False
+                c = np.packbits(corr_bits, bitorder="little")
+                corr_cache[h] = c
+            return c
 
         arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         src_complete = np.fromiter(
             (complete[int(s)] for s in si_s[seg]), dtype=bool, count=len(seg)
         )
         # process pairs grouped by mask byte length: stack + one
-        # elementwise-AND reduceat + one popcount per group
+        # elementwise-AND reduceat + one popcount per group; incomplete
+        # sources ride the same stacked reduce and get their correction
+        # as one extra packed-byte AND per pair (sliced at the query's
+        # byte offset out of the per-source packed correction)
         seg_lens = lens[first]
+        byte_off = probe.g_byte_off
         for L in np.unique(seg_lens):
             sel_pairs = np.flatnonzero(seg_lens == L)
-            fast = sel_pairs[src_complete[sel_pairs]]
-            for p in sel_pairs[~src_complete[sel_pairs]]:
-                finalize_slow(p)
-            if fast.size == 0:
-                continue
-            counts = seg_end[fast] - seg[fast]
+            counts = seg_end[sel_pairs] - seg[sel_pairs]
             row_idx = np.concatenate(
-                [order[seg[p] : seg_end[p]] for p in fast]
+                [order[seg[p] : seg_end[p]] for p in sel_pairs]
             )
             # zero-copy gather out of the Arrow value buffer
-            gather = off[row_idx][:, None] + np.arange(int(L))[None, :]
+            Li = int(L)
+            gather = off[row_idx][:, None] + np.arange(Li)[None, :]
             stacked = vals[gather]
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             final = np.bitwise_and.reduceat(stacked, starts, axis=0)
+            rep = first[sel_pairs]
+            slow_loc = np.flatnonzero(~src_complete[sel_pairs])
+            if slow_loc.size:
+                q_slow = qi[rep[slow_loc]].astype(np.int64)
+                b0 = byte_off[q_slow]
+                corr = np.empty((slow_loc.size, Li), dtype=np.uint8)
+                for j in range(slow_loc.size):
+                    corr[j] = get_corr(int(si[rep[slow_loc[j]]]))[
+                        b0[j] : b0[j] + Li
+                    ]
+                final[slow_loc] &= corr
             found = POP[final].sum(axis=1)
-            rep = first[fast]
             nw = probe.wins_per_query[qi[rep].astype(np.int64)]
             min_wins = min_windows(nw, theta, theta_compat)
             hit = found >= min_wins
             arrays.append((rep[hit], found[hit], nw[hit]))
 
-        qid_out: list = list(out["query_id"])
-        src_out: list = list(out["source"])
-        wins_out: list = list(out["wins_found"])
-        nw_out: list = list(out["n_wins"])
-        frac_out: list = list(out["fraction"])
+        qid_out: list = []
+        src_out: list = []
+        wins_out: list = []
+        nw_out: list = []
+        frac_out: list = []
         for rep, found, nw in arrays:
             qid_out.extend(probe.qid_arr[qi[rep].astype(np.int64)])
             src_out.extend(hash2src[int(s)] for s in si[rep])
