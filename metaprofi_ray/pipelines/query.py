@@ -171,6 +171,26 @@ def query_index_streaming(
     )
 
 
+def _sweep_stale_probesets(ttl_sec: float = 3600.0) -> None:
+    """Remove auto-created ``/tmp/metaprofi_probeset_*`` dirs untouched for
+    ``ttl_sec`` — the distributed path leaves probe sets on disk for reuse
+    across calls, and long-lived services would otherwise accrete them.
+    Only anonymous (uuid-named) dirs are swept; caller-supplied
+    ``probeset_dir`` paths are never touched.  Races are benign: a
+    concurrent query that just created its dir keeps a fresh mtime."""
+    import glob
+    import os
+    import shutil
+
+    now = time.time()
+    for d in glob.glob("/tmp/metaprofi_probeset_????????????"):
+        try:
+            if now - os.path.getmtime(d) > ttl_sec:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def query_index_streaming_distributed(
     index_dir: str,
     queries: "rd.Dataset | pa.Table",
@@ -222,6 +242,7 @@ def query_index_streaming_distributed(
     except Exception:
         pass
     if probeset_dir is None:
+        _sweep_stale_probesets()
         probeset_dir = f"/tmp/metaprofi_probeset_{uuid.uuid4().hex[:12]}"
     if not os.path.isdir(os.path.join(probeset_dir, "sb=-1")):
         from functools import partial

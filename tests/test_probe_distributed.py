@@ -145,3 +145,28 @@ def test_distributed_source_restricted_and_probeset_reuse(
     finally:
         pdist.prep_probe_batch = orig
     assert _norm(again).equals(_norm(restricted))
+
+
+def test_probeset_sweep_age_policy(tmp_path):
+    """Anonymous probeset dirs older than the TTL are swept; fresh and
+    caller-named dirs survive (TODO r4: probeset lifecycle)."""
+    import os
+    import shutil
+    import time as _time
+
+    old = "/tmp/metaprofi_probeset_eeeeeeeeeeee"
+    fresh = "/tmp/metaprofi_probeset_ffffffffffff"
+    named = "/tmp/metaprofi_probeset_named_keep"
+    for d in (old, fresh, named):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    try:
+        past = _time.time() - 7200
+        os.utime(old, (past, past))
+        query_pipe._sweep_stale_probesets(ttl_sec=3600)
+        assert not os.path.isdir(old)
+        assert os.path.isdir(fresh)
+        assert os.path.isdir(named)
+    finally:
+        for d in (old, fresh, named):
+            shutil.rmtree(d, ignore_errors=True)
