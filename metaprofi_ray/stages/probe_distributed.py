@@ -160,15 +160,15 @@ def prep_probe_batch(
     )
 
 
-class SliceProbePlan:
-    """Per-shard-bucket probe structures, built from the probeset parquet
-    (meta + one sb slice) — the distributed analogue of
-    ``probe_sharded.QueryProbeSet``, 1/NSB the entry payload, never built
-    on the driver.  The per-query byte-aligned GLOBAL mask layout (queries
-    ordered by qh) is shared by every bucket so the reduce can AND masks
-    from different buckets positionally."""
+class _ProbesetLayout:
+    """Per-query byte-aligned GLOBAL mask layout (queries ordered by qh),
+    built from the probeset's meta slice.  Identical for EVERY shard
+    bucket of a probeset — cached per probeset_dir so a worker that
+    probes several buckets reads the meta and builds the 2M-bit template
+    once, not once per bucket (plan builds were ~90% of probe-task time
+    at 50k queries before this split)."""
 
-    def __init__(self, probeset_dir: str, sb: int, cfg: SketchConfig):
+    def __init__(self, probeset_dir: str):
         import os
 
         import pyarrow.parquet as pq
@@ -184,12 +184,57 @@ class SliceProbePlan:
         pad_bits = ((self.nw_sorted + 7) // 8) * 8
         bit_off = np.concatenate([[0], np.cumsum(pad_bits)]).astype(np.int64)
         L = int(bit_off[-1])
+        # each padded query region owns its run of bit positions — O(L)
+        # repeat, no searchsorted over L
+        owner = np.repeat(
+            np.arange(len(self.nw_sorted), dtype=np.int64), pad_bits
+        )
         pos = np.arange(L, dtype=np.int64)
-        owner = np.searchsorted(bit_off, pos, side="right") - 1
         self.template = (pos - bit_off[owner]) < self.nw_sorted[owner]
         self.bit_off = bit_off
         self.byte_off = (bit_off // 8).astype(np.int64)
         self.n_queries = len(self.qh_sorted)
+        self.nbytes = int(
+            self.template.nbytes + self.bit_off.nbytes * 2
+            + self.qh_sorted.nbytes + self.nw_sorted.nbytes
+        )
+
+
+_LAYOUT_MEMO: "dict[str, _ProbesetLayout]" = {}
+_LAYOUT_MEMO_MAX = 2
+
+
+def _layout_for(probeset_dir: str) -> _ProbesetLayout:
+    layout = _LAYOUT_MEMO.pop(probeset_dir, None)
+    if layout is None:
+        layout = _ProbesetLayout(probeset_dir)
+    _LAYOUT_MEMO[probeset_dir] = layout
+    while len(_LAYOUT_MEMO) > _LAYOUT_MEMO_MAX:
+        _LAYOUT_MEMO.pop(next(iter(_LAYOUT_MEMO)))
+    return layout
+
+
+class SliceProbePlan:
+    """Per-shard-bucket probe structures, built from the probeset parquet
+    (shared layout + one sb slice) — the distributed analogue of
+    ``probe_sharded.QueryProbeSet``, 1/NSB the entry payload, never built
+    on the driver.  The layout is shared by every bucket so the reduce
+    can AND masks from different buckets positionally."""
+
+    def __init__(self, probeset_dir: str, sb: int, cfg: SketchConfig):
+        import os
+
+        import pyarrow.parquet as pq
+
+        layout = _layout_for(probeset_dir)
+        self.qh_sorted = layout.qh_sorted
+        self.nw_sorted = layout.nw_sorted
+        self.template = layout.template
+        self.bit_off = layout.bit_off
+        self.byte_off = layout.byte_off
+        self.n_queries = layout.n_queries
+        # the shared layout is counted by its own memo, not per plan
+        self.nbytes = 0
 
         slice_dir = os.path.join(probeset_dir, f"sb={sb}")
         self.shard_plan: dict[int, dict] = {}
@@ -231,25 +276,40 @@ class SliceProbePlan:
                 "flat_pos": uniq,
                 "q_constrained": np.unique(slot[sl]),
             }
+        self.nbytes += int(
+            sum(
+                sum(a.nbytes for a in p.values())
+                for p in self.shard_plan.values()
+            )
+        )
 
 
 # Process-level plan memo for the TASK-pool prober: Ray tasks run in
 # reusable worker processes, so each worker decodes a given probe slice
 # once and serves every later batch of that bucket from memory (the
-# BankIndex.load discipline).  Small LRU — a worker that drifts across
-# buckets holds at most a few slices.
-_PLAN_MEMO: dict[tuple, "SliceProbePlan"] = {}
-_PLAN_MEMO_MAX = 4
+# BankIndex.load discipline).  BYTE-capped LRU, not count-capped: at 50k
+# queries a plan is ~15 MB and all NSB buckets stay resident (a count cap
+# of 4 thrashed against nsb=8 — plan rebuilds were ~95% of probe-task
+# time); at 1M queries plans are ~300 MB and the cap holds a few, which
+# is the right degradation.
+_PLAN_MEMO: "dict[tuple, SliceProbePlan]" = {}
+_PLAN_MEMO_BYTES_MAX = 1 << 30
 
 
 def _plan_for(probeset_dir: str, sb: int, cfg: SketchConfig) -> "SliceProbePlan":
     key = (probeset_dir, sb)
-    plan = _PLAN_MEMO.get(key)
+    plan = _PLAN_MEMO.pop(key, None)
     if plan is None:
         plan = SliceProbePlan(probeset_dir, sb, cfg)
-        while len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:
-            _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
-        _PLAN_MEMO[key] = plan
+        import os as _os
+        if _os.environ.get("METAPROFI_PLAN_LOG"):
+            with open(_os.environ["METAPROFI_PLAN_LOG"], "a") as f:
+                f.write(f"{_os.getpid()} {sb}\n")
+    _PLAN_MEMO[key] = plan  # re-insert: dict order == LRU order
+    total = sum(getattr(p, "nbytes", 0) for p in _PLAN_MEMO.values())
+    while total > _PLAN_MEMO_BYTES_MAX and len(_PLAN_MEMO) > 1:
+        oldest = next(iter(_PLAN_MEMO))  # dict order == LRU order
+        total -= getattr(_PLAN_MEMO.pop(oldest), "nbytes", 0)
     return plan
 
 
