@@ -101,6 +101,22 @@ def run_bench() -> dict:
     timings["bloom_build"] = round(t_build, 3)
     timings["bloom_build_worst"] = round(max(runs), 3)
 
+    if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        # scaling-mode child: report the headline build only (the scaling
+        # criterion is build throughput; skipping the operator/query
+        # stages keeps each fresh-process sample short so best-of-N can
+        # ride out the sandbox's ~2x noise)
+        return {
+            "metric": "bloom_build_seconds (build-only)",
+            "value": round(t_build, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": ncpu,
+            "n_docs": n_rows,
+            "sequences_per_sec": round(n_rows / t_build, 1),
+        }
+
     # ---- representative operator pipelines over sf_dir -----------------
     # Runs BEFORE the query/streaming/service stages and takes best-of-2:
     # round 3 timed each operator once, immediately after a 10k-query
@@ -209,21 +225,40 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(levels=(8, 32)) -> dict:
-    out = {}
+def run_scaling(levels=(8, 32), samples=3) -> dict:
+    """Best-of-``samples`` fresh-process build throughput at each level.
+
+    Each sample is a separate process (fresh Ray session) running ONLY the
+    headline build (GRAFT_BENCH_BUILD_ONLY; itself best-of-2 in-process).
+    Best-of-N per level because the sandbox shows ~2x run-to-run noise on
+    identical inputs — a single noisy sample on either side would swing the
+    efficiency ratio by 2x in either direction.  All samples are reported
+    so the distribution is visible."""
+    out: dict[int, dict] = {}
+    all_tput: dict[int, list] = {}
     for ncpu in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_BUILD_ONLY="1"
         )
-        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+        best = None
+        tputs = []
+        for _ in range(samples):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            tputs.append(r["sequences_per_sec"])
+            if best is None or r["sequences_per_sec"] > best["sequences_per_sec"]:
+                best = r
+        out[ncpu] = best
+        all_tput[ncpu] = tputs
     lo, hi = levels
     tput_lo = out[lo]["sequences_per_sec"]
     tput_hi = out[hi]["sequences_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
-    result = {
+    return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -231,17 +266,12 @@ def run_scaling(levels=(8, 32)) -> dict:
         f"seq_per_sec_{hi}cpu": tput_hi,
         f"build_sec_{lo}cpu": out[lo]["value"],
         f"build_sec_{hi}cpu": out[hi]["value"],
+        f"samples_{lo}cpu": all_tput[lo],
+        f"samples_{hi}cpu": all_tput[hi],
         "levels": list(levels),
         "sf": out[hi]["sf"],
         "n_docs": out[hi]["n_docs"],
     }
-    qlo = out[lo].get("query_qps")
-    qhi = out[hi].get("query_qps")
-    if qlo and qhi:
-        result[f"query_qps_{lo}cpu"] = qlo
-        result[f"query_qps_{hi}cpu"] = qhi
-        result["query_scaling_ratio"] = round(qhi / qlo, 3)
-    return result
 
 
 if __name__ == "__main__":
