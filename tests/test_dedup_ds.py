@@ -79,3 +79,42 @@ def test_exact_pair_artifact_cached_and_consistent(ray_session, monkeypatch):
         {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
     )
     pd.testing.assert_frame_equal(face, ds_face)
+
+
+def test_dedupe_pairs_bucketed_matches_pandas(ray_session):
+    """The coarse-bucket lexsort+reduceat pair dedupe equals a direct
+    groupby-max/min on a duplicate-heavy random pair list (every pair
+    surfaced by ~4 bands on average, values shuffled)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_pairs, n_rows = 500, 2000
+    a = rng.integers(0, 100, n_pairs).astype(np.int64)
+    b = a + 1 + rng.integers(0, 100, n_pairs).astype(np.int64)
+    pick = rng.integers(0, n_pairs, n_rows)
+    df = pd.DataFrame(
+        {
+            "doc_a": a[pick],
+            "doc_b": b[pick],
+            "est_jaccard": rng.random(n_rows).round(6),
+        }
+    )
+    for how, agg in (("max", "max"), ("min", "min")):
+        got = (
+            dedup._dedupe_pairs(
+                rd.from_pandas(df), ("doc_a", "doc_b"), "est_jaccard", how
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby(["doc_a", "doc_b"], as_index=False)["est_jaccard"]
+            .agg(agg)
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_a", "doc_b", "est_jaccard"]], want, check_dtype=False
+        )
