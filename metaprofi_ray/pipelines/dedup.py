@@ -108,6 +108,30 @@ def _dedupe_pairs(
     )
 
 
+def _iter_triu_chunks(B: int, max_pairs: int = 2_000_000):
+    """Yield (ii, jj) index chunks covering every i<j pair of ``range(B)``
+    without materializing the full O(B²) triu at once — a hot LSH bucket
+    of 50k near-identical crawl docs would otherwise allocate ~1.25e9-pair
+    index arrays (plus the comparison temporaries) in one shot and OOM the
+    worker.  Small buckets (the common case) come back in one chunk, so
+    the vectorized shape is unchanged there."""
+    i0 = 0
+    while i0 < B - 1:
+        rb = max(1, max_pairs // max(B - 1 - i0, 1))
+        anchors = np.arange(i0, min(i0 + rb, B - 1), dtype=np.int64)
+        counts = (B - 1 - anchors).astype(np.int64)
+        total = int(counts.sum())
+        ii = np.repeat(anchors, counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        jj = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + np.repeat(anchors + 1, counts)
+        )
+        yield ii, jj
+        i0 = int(anchors[-1]) + 1
+
+
 def _collect_pairs(ds: rd.Dataset, schema: dict[str, str]) -> pd.DataFrame:
     """Driver/test face: collect an already-deduped pair Dataset, restoring
     the column schema Ray drops for empty results, sorted for determinism.
@@ -406,13 +430,13 @@ def minhash_lsh_pairs_ds(
             if B < 2:
                 continue
             rows = order[s0:s1]  # already doc_id-sorted by the lexsort
-            ii, jj = np.triu_indices(B, k=1)
-            est = (mat[rows[ii]] == mat[rows[jj]]).mean(axis=1)
-            keep = est >= jaccard_threshold
-            if keep.any():
-                a_out.append(docs[rows[ii[keep]]])
-                b_out.append(docs[rows[jj[keep]]])
-                e_out.append(np.round(est[keep], 4))
+            for ii, jj in _iter_triu_chunks(B):
+                est = (mat[rows[ii]] == mat[rows[jj]]).mean(axis=1)
+                keep = est >= jaccard_threshold
+                if keep.any():
+                    a_out.append(docs[rows[ii[keep]]])
+                    b_out.append(docs[rows[jj[keep]]])
+                    e_out.append(np.round(est[keep], 4))
         if not a_out:
             return PAIRS_SCHEMA.empty_table()
         return pa.table(
@@ -551,13 +575,13 @@ def simhash_pairs_ds(
             bucket = bucket.sort_values("doc_id")
             docs = bucket["doc_id"].to_numpy(dtype=np.int64)
             shs = bucket["simhash"].to_numpy(dtype=np.uint64)
-            ii, jj = np.triu_indices(B, k=1)
-            d = _popcount64(shs[ii] ^ shs[jj])
-            keep = d <= max_hamming
-            if keep.any():
-                a_out.append(docs[ii[keep]])
-                b_out.append(docs[jj[keep]])
-                h_out.append(d[keep].astype(np.int64))
+            for ii, jj in _iter_triu_chunks(B):
+                d = _popcount64(shs[ii] ^ shs[jj])
+                keep = d <= max_hamming
+                if keep.any():
+                    a_out.append(docs[ii[keep]])
+                    b_out.append(docs[jj[keep]])
+                    h_out.append(d[keep].astype(np.int64))
         if not a_out:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
@@ -1346,11 +1370,20 @@ def embedding_neardup_pairs_lsh_ds(
             bucket = bucket.sort_values("vec_id")
             ids = bucket["vec_id"].to_numpy()
             mat = np.stack(bucket["vec"].to_numpy()).astype(np.float64)
-            sims = mat @ mat.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            out["vec_a"].extend(ids[ii].tolist())
-            out["vec_b"].extend(ids[jj].tolist())
-            out["cosine"].extend(sims[ii, jj].tolist())
+            B = len(ids)
+            # row-block matmul bounds the sims buffer to ~32 MB — a hot
+            # bucket would otherwise allocate the full B×B similarity
+            # matrix in one shot
+            rb = max(1, (1 << 22) // max(B, 1))
+            for i0 in range(0, B, rb):
+                blk = mat[i0 : i0 + rb] @ mat.T  # (rb, B)
+                li, lj = np.nonzero(blk >= threshold)
+                gi = li + i0
+                keep = lj > gi
+                if keep.any():
+                    out["vec_a"].extend(ids[gi[keep]].tolist())
+                    out["vec_b"].extend(ids[lj[keep]].tolist())
+                    out["cosine"].extend(blk[li[keep], lj[keep]].tolist())
         return pd.DataFrame(out).astype(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
         )

@@ -175,15 +175,21 @@ def _sweep_stale_probesets(ttl_sec: float = 3600.0) -> None:
     """Remove auto-created ``/tmp/metaprofi_probeset_*`` dirs untouched for
     ``ttl_sec`` — the distributed path leaves probe sets on disk for reuse
     across calls, and long-lived services would otherwise accrete them.
-    Only anonymous (uuid-named) dirs are swept; caller-supplied
-    ``probeset_dir`` paths are never touched.  Races are benign: a
-    concurrent query that just created its dir keeps a fresh mtime."""
+    Only anonymous (12-hex-digit uuid-named) dirs are swept;
+    caller-supplied ``probeset_dir`` paths are never touched (reused dirs
+    also get their mtime refreshed per query, so only genuinely idle dirs
+    age out).  Races are benign: a concurrent query that just created its
+    dir keeps a fresh mtime."""
     import glob
     import os
+    import re
     import shutil
 
     now = time.time()
+    anon = re.compile(r"/metaprofi_probeset_[0-9a-f]{12}$")
     for d in glob.glob("/tmp/metaprofi_probeset_????????????"):
+        if not anon.search(d):
+            continue
         try:
             if now - os.path.getmtime(d) > ttl_sec:
                 shutil.rmtree(d, ignore_errors=True)
@@ -252,6 +258,13 @@ def query_index_streaming_distributed(
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).write_parquet(probeset_dir, partition_cols=["sb"])
+    else:
+        # reuse: refresh the dir mtime so an actively-reused probeset
+        # never ages into the sweep window mid-use
+        try:
+            os.utime(probeset_dir, None)
+        except OSError:
+            pass
     meta_dir = os.path.join(probeset_dir, "sb=-1")
     if not os.path.isdir(meta_dir):
         return rd.from_arrow(empty_hits())  # no query yields any window

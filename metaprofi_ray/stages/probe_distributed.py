@@ -200,15 +200,29 @@ class _ProbesetLayout:
         )
 
 
-_LAYOUT_MEMO: "dict[str, _ProbesetLayout]" = {}
+_LAYOUT_MEMO: "dict[tuple, _ProbesetLayout]" = {}
 _LAYOUT_MEMO_MAX = 2
 
 
+def _probeset_version(probeset_dir: str) -> float:
+    """Cheap content version for the memo keys: the meta dir's mtime.
+    A probeset REWRITTEN at the same caller-supplied path (the reuse API)
+    must not be served from a warm worker's cache — stale qh layouts
+    would silently drop every reduce pair."""
+    import os
+
+    try:
+        return os.path.getmtime(os.path.join(probeset_dir, "sb=-1"))
+    except OSError:
+        return -1.0
+
+
 def _layout_for(probeset_dir: str) -> _ProbesetLayout:
-    layout = _LAYOUT_MEMO.pop(probeset_dir, None)
+    key = (probeset_dir, _probeset_version(probeset_dir))
+    layout = _LAYOUT_MEMO.pop(key, None)
     if layout is None:
         layout = _ProbesetLayout(probeset_dir)
-    _LAYOUT_MEMO[probeset_dir] = layout
+    _LAYOUT_MEMO[key] = layout
     while len(_LAYOUT_MEMO) > _LAYOUT_MEMO_MAX:
         _LAYOUT_MEMO.pop(next(iter(_LAYOUT_MEMO)))
     return layout
@@ -297,7 +311,7 @@ _PLAN_MEMO_BYTES_MAX = 1 << 30
 
 
 def _plan_for(probeset_dir: str, sb: int, cfg: SketchConfig) -> "SliceProbePlan":
-    key = (probeset_dir, sb)
+    key = (probeset_dir, sb, _probeset_version(probeset_dir))
     plan = _PLAN_MEMO.pop(key, None)
     if plan is None:
         plan = SliceProbePlan(probeset_dir, sb, cfg)

@@ -92,9 +92,10 @@ class QueryProbeSet:
         bit_off = np.concatenate([[0], np.cumsum(pad_bits)])
         L = int(bit_off[-1])
         # vectorized: bit b is live iff its offset inside its query's padded
-        # region is below that query's window count
+        # region is below that query's window count (owner via repeat over
+        # the padded run lengths — O(L), no searchsorted over every bit)
         pos = np.arange(L, dtype=np.int64)
-        owner = np.searchsorted(bit_off, pos, side="right") - 1
+        owner = np.repeat(np.arange(len(nw_all), dtype=np.int64), pad_bits)
         template = (pos - bit_off[owner]) < nw_all[owner]
         self.g_bit_off = bit_off
         self.g_byte_off = (bit_off // 8).astype(np.int64)
@@ -280,10 +281,13 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
 
     # ray.get once per WORKER (closure cache), not once per group
     cache: dict = {}
-    # per-source packed missing-shard correction (see _get_corr), cached
+    # per-source packed missing-shard correction (see get_corr), cached
     # per worker — the set of incomplete sources is a property of the
-    # index, not of the bucket
+    # index, not of the bucket.  Byte-capped: each entry spans the FULL
+    # query layout, so thousands of incomplete sources at a large query
+    # count would otherwise hold GBs per worker
     corr_cache: dict[int, np.ndarray] = {}
+    CORR_CACHE_BYTES_MAX = 1 << 29
 
     POP = np.array(
         [bin(i).count("1") for i in range(256)], dtype=np.int64
@@ -354,7 +358,7 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
             byte layout identical to the global mask pack, with every
             window constrained by a shard the source has NO bank row for
             cleared (a missing row means ABSENT bits, not vacuous)."""
-            c = corr_cache.get(h)
+            c = corr_cache.pop(h, None)
             if c is None:
                 bad = np.zeros(probe.n_wins_total, dtype=bool)
                 for sid in missing[h]:
@@ -362,7 +366,11 @@ def make_reduce_masks(probe_ref, theta: int, source_shards_ref,
                 corr_bits = np.ones(probe.g_template.size, dtype=bool)
                 corr_bits[cache["win_bit"][bad]] = False
                 c = np.packbits(corr_bits, bitorder="little")
-                corr_cache[h] = c
+            corr_cache[h] = c  # re-insert: dict order == LRU order
+            total = sum(a.nbytes for a in corr_cache.values())
+            while total > CORR_CACHE_BYTES_MAX and len(corr_cache) > 1:
+                oldest = next(iter(corr_cache))
+                total -= corr_cache.pop(oldest).nbytes
             return c
 
         arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []

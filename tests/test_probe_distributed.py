@@ -170,3 +170,32 @@ def test_probeset_sweep_age_policy(tmp_path):
     finally:
         for d in (old, fresh, named):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_probeset_rewritten_at_same_path_not_served_stale(
+    dist_index, tmp_path_factory
+):
+    """A probeset REWRITTEN at the same caller-supplied path must not be
+    served from a warm worker's plan/layout memo: panel B after panel A
+    at the same dir must equal panel B at a fresh dir."""
+    import os
+    import shutil
+    import time as _time
+
+    corpus, idx = dist_index
+    panel_a = make_queries(corpus, CFG.k, n_exact=6, n_negative=2)
+    panel_b = make_queries(corpus, CFG.k, n_exact=14, n_negative=6)
+    pdir = str(tmp_path_factory.mktemp("pstale") / "probeset")
+    query_pipe.query_index_streaming_distributed(
+        idx, panel_a, theta=100, probeset_dir=pdir
+    ).to_pandas()  # warms worker memos with panel A's layout
+    shutil.rmtree(pdir)
+    _time.sleep(0.05)  # ensure a distinct dir mtime for the rewrite
+    got = query_pipe.query_index_streaming_distributed(
+        idx, panel_b, theta=100, probeset_dir=pdir
+    ).to_pandas()
+    want = query_pipe.query_index_streaming_distributed(
+        idx, panel_b, theta=100
+    ).to_pandas()
+    assert _norm(got).equals(_norm(want))
+    assert len(want) > 0
