@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     us.add_argument("new_corpus")
     us.add_argument("out_dir")
 
+    rm = sub.add_parser("remove",
+                        help="write a new index with the named sources "
+                             "removed (only their srcbucket dirs are "
+                             "rewritten; the rest hardlink)")
+    rm.add_argument("index_dir")
+    rm.add_argument("sources", help="comma-separated source names")
+    rm.add_argument("out_dir")
+
     s = sub.add_parser("search")
     s.add_argument("index_dir")
     s.add_argument("queries", nargs="?", default=None,
@@ -170,6 +178,16 @@ def main(argv: list[str] | None = None) -> int:
             a.index_dir, as_sequence_level(read_tokens(_resolve(a.new_corpus))), a.out_dir
         )
         print(f"updated sequence-level index at {out}")
+    elif a.cmd == "remove":
+        owns_ray = _init_ray()
+        from .pipelines.update import remove_sources
+
+        out = remove_sources(
+            a.index_dir,
+            [s for s in a.sources.split(",") if s.strip()],
+            a.out_dir,
+        )
+        print(f"removed sources; new index at {out}")
     elif a.cmd == "search":
         owns_ray = _init_ray()
         import pyarrow as pa

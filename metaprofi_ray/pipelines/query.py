@@ -226,6 +226,7 @@ def query_index_streaming_distributed(
 
     from ..sources import io as bank_io
     from ..stages.probe_distributed import (
+        build_plan_refs,
         make_distributed_reduce,
         meta_to_reduce_rows,
         prep_probe_batch,
@@ -269,6 +270,12 @@ def query_index_streaming_distributed(
     if not os.path.isdir(meta_dir):
         return rd.from_arrow(empty_hits())  # no query yields any window
 
+    # build each bucket's probe plan EXACTLY ONCE, in parallel tasks; probe
+    # tasks read the shared plans zero-copy from the object store (per-node
+    # plasma broadcast on a cluster) instead of each worker re-decoding its
+    # buckets' probeset slices
+    plan_refs = build_plan_refs(probeset_dir, nsb, cfg)
+
     # small driver-side source map (O(sources), the same two key columns
     # the broadcast streaming path reads) — names + per-source shard sets
     # for the reduce's missing-shard correction
@@ -311,7 +318,8 @@ def query_index_streaming_distributed(
     from functools import partial
 
     masks = banks.map_batches(
-        partial(probe_any_batch, probeset_dir=probeset_dir, nsb=nsb, cfg=cfg),
+        partial(probe_any_batch, probeset_dir=probeset_dir, nsb=nsb, cfg=cfg,
+                plan_refs=plan_refs),
         batch_format="pyarrow",
         batch_size=None,
         num_cpus=1,

@@ -79,3 +79,113 @@ def update_from_parquet(
     cfg: SketchConfig | None = None,
 ) -> str:
     return update_index(index_dir, read_tokens(path), out_dir, cfg)
+
+
+def remove_sources(
+    index_dir: str, sources: list[str], out_dir: str
+) -> str:
+    """Write a new index at ``out_dir`` with ``sources`` removed.
+
+    The reference cannot do this: its matrix concatenates sample columns,
+    so removal means a full rebuild (build_index_zarr.py:217-430 only ever
+    APPENDS).  The per-source bank-row layout makes removal a metadata-
+    sized operation instead: rows are keyed by source, so dropping a
+    source == filtering its rows, and the hive srcbucket layout means only
+    the bucket dirs the removed sources hash to are rewritten — every
+    other dir is HARDLINKED into the new index unchanged (zero data
+    movement; the cluster analogue is an object-store server-side copy or
+    a manifest pointer).  Equivalent to a fresh build without those
+    sources, which the parity test asserts."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError("removal must write to a new directory "
+                         "(immutable index)")
+    if os.path.exists(os.path.join(out_dir, bank_io.MANIFEST)):
+        raise FileExistsError(f"index already exists at {out_dir}")
+    old_cfg, old_doc = bank_io.read_manifest(index_dir)
+    known = set(
+        pq.read_table(
+            os.path.join(index_dir, bank_io.SOURCES), columns=["source"]
+        )["source"].to_pylist()
+    )
+    removal = set(sources)
+    unknown = removal - known
+    if unknown:
+        raise ValueError(f"not in index: {sorted(unknown)}")
+    if removal >= known:
+        raise ValueError("cannot remove every source (empty index)")
+
+    src_buckets = int(old_doc.get("src_buckets") or 0)
+    shard_buckets = int(old_doc.get("shard_buckets") or 0)
+    old_banks_dir = os.path.join(index_dir, bank_io.BANKS)
+    out_banks_dir = os.path.join(out_dir, bank_io.BANKS)
+    if os.path.exists(out_banks_dir):
+        shutil.rmtree(out_banks_dir)  # interrupted removal: restart clean
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    drop = pa.array(sorted(removal), pa.string())
+
+    def keep_rows(t):
+        return t.filter(
+            pc.invert(pc.is_in(t["source"], value_set=drop))
+        )
+
+    if src_buckets > 0:
+        affected = {bank_io.src_bucket(s, src_buckets) for s in removal}
+        rewrite_files: list[str] = []
+        for f in sorted(
+            glob.glob(os.path.join(old_banks_dir, "**", "*.parquet"),
+                      recursive=True)
+        ):
+            rel = os.path.relpath(f, old_banks_dir)
+            m = [p for p in rel.split(os.sep) if p.startswith("srcbucket=")]
+            b = int(m[0].split("=", 1)[1]) if m else None
+            if b is not None and b not in affected:
+                dst = os.path.join(out_banks_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(f, dst)  # same filesystem: zero-copy share
+                except OSError:
+                    shutil.copy2(f, dst)
+            else:
+                rewrite_files.append(f)
+        if rewrite_files:
+            kept = (
+                rd.read_parquet(rewrite_files)
+                .map_batches(keep_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            )
+            layout_cols = [
+                c for c in ("srcbucket", "shardbucket")
+                if c in (kept.schema().names or [])
+            ]
+            if layout_cols:
+                kept = kept.drop_columns(layout_cols)
+            from .build import write_banks
+
+            write_banks(kept, out_banks_dir, src_buckets, shard_buckets)
+    else:
+        kept = (
+            rd.read_parquet(old_banks_dir)
+            .map_batches(keep_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        )
+        from .build import write_banks
+
+        write_banks(kept, out_banks_dir, 0)
+
+    bank_io.write_sources_summary(out_dir, old_cfg)
+    bank_io.write_manifest(
+        out_dir, old_cfg,
+        extra={"removed_from": os.path.abspath(index_dir),
+               "removed_sources": sorted(removal),
+               "src_buckets": src_buckets,
+               "shard_buckets": shard_buckets},
+    )
+    return out_dir

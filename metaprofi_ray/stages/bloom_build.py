@@ -164,16 +164,19 @@ def local_merge_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
     (merges are associative)."""
     if batch.num_rows == 0:
         return PARTIAL_SCHEMA.empty_table()
-    import collections
-
-    keys: dict[tuple[str, int], list[int]] = collections.defaultdict(list)
-    src = batch["source"].to_pylist()
-    sid = batch["shard_id"].to_pylist()
-    for i in range(batch.num_rows):
-        keys[(src[i], sid[i])].append(i)
-    outs = []
-    for idx in keys.values():
-        outs.append(merge_partials(batch.take(idx), cfg))
+    src_codes = (
+        pc.dictionary_encode(batch["source"])
+        .combine_chunks()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    sid = batch["shard_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((sid, src_codes))
+    change = (np.diff(src_codes[order]) != 0) | (np.diff(sid[order]) != 0)
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(order)]])
+    outs = [
+        merge_partials(batch.take(order[s0:s1]), cfg)
+        for s0, s1 in zip(bounds[:-1], bounds[1:])
+    ]
     return pa.concat_tables(outs)
 
 

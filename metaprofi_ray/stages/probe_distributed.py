@@ -298,14 +298,59 @@ class SliceProbePlan:
         )
 
 
-# Process-level plan memo for the TASK-pool prober: Ray tasks run in
-# reusable worker processes, so each worker decodes a given probe slice
-# once and serves every later batch of that bucket from memory (the
-# BankIndex.load discipline).  BYTE-capped LRU, not count-capped: at 50k
-# queries a plan is ~15 MB and all NSB buckets stay resident (a count cap
-# of 4 thrashed against nsb=8 — plan rebuilds were ~95% of probe-task
-# time); at 1M queries plans are ~300 MB and the cap holds a few, which
-# is the right degradation.
+@ray.remote
+def _build_plan_task(probeset_dir: str, sb: int, cfg) -> "SliceProbePlan":
+    """One bucket's plan, built ONCE in a Ray task.  The returned object
+    lands in the object store, so every probe task on every node reads the
+    same numpy payloads zero-copy from local plasma instead of re-decoding
+    the probeset parquet per (worker x bucket) — at the 1M-query tier that
+    replaces up to workers x NSB plan builds with exactly NSB."""
+    import os
+
+    plan = SliceProbePlan(probeset_dir, sb, cfg)
+    if os.environ.get("METAPROFI_PLAN_LOG"):
+        with open(os.environ["METAPROFI_PLAN_LOG"], "a") as f:
+            f.write(f"{os.getpid()} broadcast {sb}\n")
+    return plan
+
+
+def build_plan_refs(probeset_dir: str, nsb: int, cfg) -> dict:
+    """Kick off the NSB plan builds in parallel; returns {sb: ObjectRef}.
+    Non-blocking — probe tasks block on their bucket's ref only."""
+    return {
+        sb: _build_plan_task.remote(probeset_dir, sb, cfg)
+        for sb in range(nsb)
+    }
+
+
+# Per-process cache of plasma-backed plans keyed by ObjectRef so a worker
+# deserializes each shared plan's dict structure once (array payloads stay
+# zero-copy views over plasma either way).  Holding the views pins the
+# plasma objects, so the cap is small; backing memory is shared node-wide.
+_SHARED_PLAN_CACHE: "dict[bytes, SliceProbePlan]" = {}
+_SHARED_PLAN_CACHE_MAX = 16
+
+
+def _plan_from_ref(ref) -> "SliceProbePlan":
+    key = ref.binary()
+    plan = _SHARED_PLAN_CACHE.pop(key, None)
+    if plan is None:
+        plan = ray.get(ref)
+    _SHARED_PLAN_CACHE[key] = plan  # dict order == LRU order
+    while len(_SHARED_PLAN_CACHE) > _SHARED_PLAN_CACHE_MAX:
+        _SHARED_PLAN_CACHE.pop(next(iter(_SHARED_PLAN_CACHE)))
+    return plan
+
+
+# Process-level plan memo for the TASK-pool prober WITHOUT broadcast refs
+# (direct library calls, tests): Ray tasks run in reusable worker
+# processes, so each worker decodes a given probe slice once and serves
+# every later batch of that bucket from memory (the BankIndex.load
+# discipline).  BYTE-capped LRU, not count-capped: at 50k queries a plan
+# is ~15 MB and all NSB buckets stay resident (a count cap of 4 thrashed
+# against nsb=8 — plan rebuilds were ~95% of probe-task time); at 1M
+# queries plans are ~300 MB and the cap holds a few, which is the right
+# degradation.
 _PLAN_MEMO: "dict[tuple, SliceProbePlan]" = {}
 _PLAN_MEMO_BYTES_MAX = 1 << 30
 
@@ -343,11 +388,14 @@ def probe_bucket_batch(
 
 def probe_any_batch(
     bank_batch: pa.Table, *, probeset_dir: str, nsb: int, cfg: SketchConfig,
-    nkb: int = N_REDUCE_BUCKETS,
+    nkb: int = N_REDUCE_BUCKETS, plan_refs: dict | None = None,
 ) -> pa.Table:
     """Single-pipeline prober: ONE read of the bank files feeds one task
     pool; each task splits its batch by ``sb = shard_id % nsb`` and probes
-    every slice against that bucket's plan (plan memo shared per worker).
+    every slice against that bucket's plan.  With ``plan_refs`` (the
+    default pipeline path) plans come zero-copy from the object store —
+    built exactly once per bucket by ``build_plan_refs``; without refs
+    (direct calls, tests) each worker builds via the process-level memo.
     With the hive shardbucket layout a block is one file = one bucket, so
     the split is usually a no-op — but this stage stays correct on any
     block layout, and collapsing NSB sub-pipelines into one removes NSB
@@ -363,7 +411,10 @@ def probe_any_batch(
     for sb in present:
         sel = sb_row == sb
         sub = bank_batch if sel.all() else bank_batch.filter(pa.array(sel))
-        plan = _plan_for(probeset_dir, sb, cfg)
+        if plan_refs is not None and sb in plan_refs:
+            plan = _plan_from_ref(plan_refs[sb])
+        else:
+            plan = _plan_for(probeset_dir, sb, cfg)
         parts.append(_probe_with_plan(plan, sub, nkb))
     if not parts:
         return MASK_SCHEMA.empty_table()

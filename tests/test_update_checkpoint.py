@@ -102,6 +102,101 @@ class TestUpdate:
         assert sb[2] == [2 * x for x in sa[2]]  # n_docs doubled
 
 
+class TestRemoveSources:
+    def test_removal_equals_fresh_build(self, ray_session, split_corpora,
+                                        tmp_path_factory):
+        """remove_sources == a fresh build without those sources
+        (byte-identical Bloom/HLL/CMS state), and untouched srcbucket dirs
+        are HARDLINKED, not rewritten."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from metaprofi_ray.pipelines.update import remove_sources
+        from metaprofi_ray.sources.io import src_bucket
+
+        old, _ = split_corpora
+        root = tmp_path_factory.mktemp("rm")
+        full = str(root / "full")
+        files = sorted(glob.glob(old + "/*.parquet"))
+        build_pipe.build_from_parquet(files, CFG, full)
+        removed = ["src01", "src03"]
+        slim = remove_sources(full, removed, str(root / "slim"))
+
+        drop = pa.array(removed, pa.string())
+        fresh = build_pipe.build_index(
+            build_pipe.read_tokens(files).map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["source"], value_set=drop))
+                ),
+                batch_format="pyarrow",
+            ),
+            CFG, str(root / "fresh"),
+        )
+        assert _bank_state(slim) == _bank_state(fresh)
+        assert set(
+            json.load(open(os.path.join(slim, "manifest.json")))
+            ["removed_sources"]
+        ) == set(removed)
+
+        # untouched buckets share inodes with the original index
+        _, doc = __import__(
+            "metaprofi_ray.sources.io", fromlist=["read_manifest"]
+        ).read_manifest(full)
+        n = int(doc["src_buckets"])
+        affected = {src_bucket(s, n) for s in removed}
+        kept_srcs = [f"src{i:02d}" for i in range(5) if f"src{i:02d}" not in removed]
+        untouched = [
+            s for s in kept_srcs if src_bucket(s, n) not in affected
+        ]
+        assert untouched, "fixture must leave at least one untouched bucket"
+        b = src_bucket(untouched[0], n)
+        olds = sorted(glob.glob(
+            os.path.join(full, "banks", f"srcbucket={b}", "**", "*.parquet"),
+            recursive=True,
+        ))
+        news = sorted(glob.glob(
+            os.path.join(slim, "banks", f"srcbucket={b}", "**", "*.parquet"),
+            recursive=True,
+        ))
+        assert olds and [os.stat(f).st_ino for f in olds] == [
+            os.stat(f).st_ino for f in news
+        ]
+        # removed sources answer no queries; kept sources still hit
+        from metaprofi_ray.sources.synth import make_queries
+
+        q = make_queries(old, CFG.k, n_exact=10, n_negative=0)
+        hits = query_pipe.query_table(slim, q, theta=100).to_pandas()
+        assert set(hits["source"]) <= set(kept_srcs)
+        full_hits = query_pipe.query_table(full, q, theta=100).to_pandas()
+        kept_full = full_hits[~full_hits["source"].isin(removed)]
+        assert len(hits) == len(kept_full)
+
+    def test_removal_refuses_bad_input(self, ray_session, split_corpora,
+                                       tmp_path_factory):
+        from metaprofi_ray.pipelines.update import remove_sources
+
+        old, _ = split_corpora
+        root = tmp_path_factory.mktemp("rm2")
+        full = str(root / "full")
+        build_pipe.build_from_parquet(
+            sorted(glob.glob(old + "/*.parquet")), CFG, full
+        )
+        with pytest.raises(ValueError):
+            remove_sources(full, ["nope"], str(root / "x"))
+        with pytest.raises(ValueError):
+            remove_sources(
+                full, [f"src{i:02d}" for i in range(5)], str(root / "y")
+            )
+        with pytest.raises(ValueError):
+            remove_sources(full, ["src01"], full)
+        # CLI face
+        from metaprofi_ray.cli import main as cli_main
+
+        out = str(root / "cli_out")
+        assert cli_main(["remove", full, "src01", out]) in (0, None)
+        assert os.path.exists(os.path.join(out, "manifest.json"))
+
+
 class TestCheckpoint:
     def test_checkpointed_equals_direct(self, ray_session, corpus_dir, tmp_path_factory):
         root = tmp_path_factory.mktemp("ck")
