@@ -205,6 +205,7 @@ def query_index_streaming_distributed(
     theta_compat: str = "exact",
     sources: list[str] | None = None,
     probeset_dir: str | None = None,
+    lane_mode: bool | None = None,
 ) -> rd.Dataset:
     """≫100k-query scale path: BOTH sides stream.  The probe set is never
     built on the driver and never broadcast — a parallel ``map_batches``
@@ -218,7 +219,16 @@ def query_index_streaming_distributed(
     unique ``query_id`` values).
 
     ``probeset_dir`` may be passed to reuse a prepared probe set across
-    calls (e.g. the same query panel against several indexes)."""
+    calls (e.g. the same query panel against several indexes).
+
+    ``lane_mode`` picks the mask-shuffle protocol: per-(query, source)
+    pair rows (exactly what the reduce consumes, best when sources ≫
+    queries) or per-(source, reduce-bucket) LANE rows carrying all of a
+    bucket's query masks in one row (~n_queries/64 fewer rows for the
+    same bytes — the shuffle at large query counts is row-count-bound,
+    so this is the ≫100k-query form).  ``None`` (default) chooses lanes
+    when the probe set holds ≥ 4096 queries.  Results are identical
+    (property-tested)."""
     import os
     import uuid
 
@@ -276,6 +286,16 @@ def query_index_streaming_distributed(
     # buckets' probeset slices
     plan_refs = build_plan_refs(probeset_dir, nsb, cfg)
 
+    if lane_mode is None:
+        # row counts live in the parquet footers — no data read
+        import glob as _glob
+
+        n_queries = sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(meta_dir, "*.parquet"))
+        )
+        lane_mode = n_queries >= 4096
+
     # small driver-side source map (O(sources), the same two key columns
     # the broadcast streaming path reads) — names + per-source shard sets
     # for the reduce's missing-shard correction
@@ -319,7 +339,7 @@ def query_index_streaming_distributed(
 
     masks = banks.map_batches(
         partial(probe_any_batch, probeset_dir=probeset_dir, nsb=nsb, cfg=cfg,
-                plan_refs=plan_refs),
+                plan_refs=plan_refs, lane_mode=lane_mode),
         batch_format="pyarrow",
         batch_size=None,
         num_cpus=1,
@@ -330,7 +350,8 @@ def query_index_streaming_distributed(
     combined = masks.union(meta_rows)
     return combined.groupby("kb").map_groups(
         make_distributed_reduce(theta, source_shards_ref,
-                                theta_compat=theta_compat),
+                                theta_compat=theta_compat,
+                                lane_mode=lane_mode),
         batch_format="pyarrow",
     )
 

@@ -25,7 +25,11 @@ scale feature).  Here the probe set never exists in one piece anywhere:
      source); the per-query structure the finalizer needs (name, window
      count, missing-shard correction masks) arrives as co-shuffled meta
      rows keyed by the same ``kb = qh % NKB`` — not as a broadcast probe
-     object.
+     object.  Mask rows come in two shapes: per-(query, source) PAIR rows
+     (small query sets) or per-(source, kb) LANE rows carrying every
+     query's packed mask for that bucket (``_emit_lanes``; same payload
+     bytes, ~Q/NKB fewer rows — the shuffle is row-count-bound, so lanes
+     halve the 1M-query end-to-end wall).
 
 Requires unique ``query_id`` values (rows are keyed by a 64-bit blake2b of
 the id).  Results are identical to ``query_index`` / the broadcast
@@ -194,9 +198,38 @@ class _ProbesetLayout:
         self.bit_off = bit_off
         self.byte_off = (bit_off // 8).astype(np.int64)
         self.n_queries = len(self.qh_sorted)
+        # Lane-mode structures: the reduce key's view of the packed global
+        # mask.  ``lane_gather`` is the byte permutation that regroups the
+        # per-query padded mask bytes by ``kb = qh % N_REDUCE_BUCKETS``
+        # (kb-major, qh-sorted within — the exact order the reduce derives
+        # from its meta rows); ``lane_bounds[kb]:lane_bounds[kb+1]`` is
+        # bucket kb's byte range after the gather.  Lane mode emits ONE
+        # mask row per (source, kb) instead of one per (query, source) —
+        # the same payload bytes with ~Q/NKB fewer rows, which is what the
+        # mask shuffle's cost is proportional to at large query counts.
+        kb_of = (self.qh_sorted % np.uint64(N_REDUCE_BUCKETS)).astype(
+            np.int64
+        )
+        slot_order = np.argsort(kb_of, kind="stable")
+        kb_bounds = np.searchsorted(
+            kb_of[slot_order], np.arange(N_REDUCE_BUCKETS + 1)
+        )
+        pad_bytes = ((self.nw_sorted + 7) // 8).astype(np.int64)
+        lens = pad_bytes[slot_order]
+        starts = self.byte_off[:-1][slot_order]
+        out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        self.lane_gather = (
+            np.arange(int(out_off[-1]), dtype=np.int64)
+            - np.repeat(out_off[:-1], lens)
+            + np.repeat(starts, lens)
+        )
+        self.lane_bounds = out_off[kb_bounds]
+        self.slot_order = slot_order
+        self.kb_bounds = kb_bounds
         self.nbytes = int(
             self.template.nbytes + self.bit_off.nbytes * 2
             + self.qh_sorted.nbytes + self.nw_sorted.nbytes
+            + self.lane_gather.nbytes + self.slot_order.nbytes
         )
 
 
@@ -247,6 +280,10 @@ class SliceProbePlan:
         self.bit_off = layout.bit_off
         self.byte_off = layout.byte_off
         self.n_queries = layout.n_queries
+        self.lane_gather = layout.lane_gather
+        self.lane_bounds = layout.lane_bounds
+        self.slot_order = layout.slot_order
+        self.kb_bounds = layout.kb_bounds
         # the shared layout is counted by its own memo, not per plan
         self.nbytes = 0
 
@@ -374,7 +411,7 @@ def _plan_for(probeset_dir: str, sb: int, cfg: SketchConfig) -> "SliceProbePlan"
 
 def probe_bucket_batch(
     bank_batch: pa.Table, *, probeset_dir: str, sb: int, cfg: SketchConfig,
-    nkb: int = N_REDUCE_BUCKETS,
+    nkb: int = N_REDUCE_BUCKETS, lane_mode: bool = False,
 ) -> pa.Table:
     """TASK-pool stage over ONE shard bucket's bank files: emits
     per-(query, source) mask rows.  A task pool (not an actor pool)
@@ -383,12 +420,13 @@ def probe_bucket_batch(
     process-level plan memo instead.  The batch math mirrors
     ``probe_sharded.ShardProber`` (gather + reduceat + one packbits)."""
     plan = _plan_for(probeset_dir, sb, cfg)
-    return _probe_with_plan(plan, bank_batch, nkb)
+    return _probe_with_plan(plan, bank_batch, nkb, lane_mode)
 
 
 def probe_any_batch(
     bank_batch: pa.Table, *, probeset_dir: str, nsb: int, cfg: SketchConfig,
     nkb: int = N_REDUCE_BUCKETS, plan_refs: dict | None = None,
+    lane_mode: bool = False,
 ) -> pa.Table:
     """Single-pipeline prober: ONE read of the bank files feeds one task
     pool; each task splits its batch by ``sb = shard_id % nsb`` and probes
@@ -415,14 +453,15 @@ def probe_any_batch(
             plan = _plan_from_ref(plan_refs[sb])
         else:
             plan = _plan_for(probeset_dir, sb, cfg)
-        parts.append(_probe_with_plan(plan, sub, nkb))
+        parts.append(_probe_with_plan(plan, sub, nkb, lane_mode))
     if not parts:
         return MASK_SCHEMA.empty_table()
     return pa.concat_tables(parts)
 
 
 def _probe_with_plan(
-    plan: "SliceProbePlan", bank_batch: pa.Table, nkb: int
+    plan: "SliceProbePlan", bank_batch: pa.Table, nkb: int,
+    lane_mode: bool = False,
 ) -> pa.Table:
         empty = MASK_SCHEMA.empty_table()
         if not plan.shard_plan or bank_batch.num_rows == 0:
@@ -460,7 +499,8 @@ def _probe_with_plan(
                 )
                 parts.append(
                     _probe_with_plan(
-                        plan, bank_batch.filter(pa.array(keep)), nkb
+                        plan, bank_batch.filter(pa.array(keep)), nkb,
+                        lane_mode,
                     )
                 )
             return pa.concat_tables(parts)
@@ -484,6 +524,13 @@ def _probe_with_plan(
             mat[row, p["flat_pos"]] &= win_ok
             constrained[row, p["q_constrained"]] = True
         packed = np.packbits(mat, axis=1, bitorder="little")
+        if lane_mode:
+            if nkb != N_REDUCE_BUCKETS:
+                raise ValueError(
+                    "lane mode requires nkb == N_REDUCE_BUCKETS "
+                    "(the layout's lane grouping is built for it)"
+                )
+            return _emit_lanes(plan, packed, constrained, src_names)
         LB = packed.shape[1]
         byte_off = plan.byte_off
         offsets = np.empty(S * Q + 1, dtype=np.int64)
@@ -519,6 +566,65 @@ def _probe_with_plan(
         return full.filter(pa.array(constrained.ravel()))
 
 
+def _emit_lanes(
+    plan: "SliceProbePlan", packed: np.ndarray, constrained: np.ndarray,
+    src_names: list,
+) -> pa.Table:
+    """Lane-mode mask rows: ONE row per (source, reduce bucket), carrying
+    the concatenated packed masks of every query in that bucket (kb-major
+    byte permutation precomputed in the layout).  Same payload bytes as
+    the per-pair rows, ~n_queries/NKB fewer of them — the mask shuffle's
+    sort cost is row-count-bound, so this is the ≫100k-query scale form.
+    A (source, kb) cell with no constrained query is omitted; omitted
+    lanes are AND-identity by construction (the template leaves every
+    valid window bit set), so the reduce's AND over the lanes that DO
+    arrive is exact."""
+    S = len(src_names)
+    lanes = np.ascontiguousarray(packed[:, plan.lane_gather])
+    cg = constrained[:, plan.slot_order]
+    csum = np.concatenate(
+        [np.zeros((S, 1), dtype=np.int64),
+         np.cumsum(cg, axis=1, dtype=np.int64)],
+        axis=1,
+    )
+    seg = csum[:, plan.kb_bounds[1:]] - csum[:, plan.kb_bounds[:-1]]
+    emit = (seg > 0).ravel()
+    if not emit.any():
+        return MASK_SCHEMA.empty_table()
+    LB = lanes.shape[1]
+    nkb = plan.lane_bounds.shape[0] - 1
+    n = S * nkb
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[:-1] = (
+        np.arange(S, dtype=np.int64)[:, None] * LB
+        + plan.lane_bounds[None, :-1]
+    ).ravel()
+    offsets[-1] = S * LB
+    mask_arr = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(lanes.tobytes())],
+    )
+    shash = np.array([hash64_str(s) for s in src_names], dtype=np.uint64)
+    full = pa.table(
+        {
+            "kb": pa.array(
+                np.tile(np.arange(nkb, dtype=np.int32), S)
+            ),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "qh": pa.array(np.zeros(n, dtype=np.uint64)),
+            "si": pa.array(np.repeat(shash, nkb)),
+            "mask": mask_arr,
+            "qid": pa.array([""] * n, pa.large_string()),
+            "nw": pa.array(np.zeros(n, dtype=np.int32)),
+            "c_shard": pa.array([b""] * n, pa.large_binary()),
+            "c_win": pa.array([b""] * n, pa.large_binary()),
+        },
+        schema=MASK_SCHEMA,
+    )
+    return full.filter(pa.array(emit))
+
+
 def meta_to_reduce_rows(t: pa.Table) -> pa.Table:
     """Probeset meta rows → reduce-side query rows (kind=1), co-shuffled
     with the masks by the same kb key."""
@@ -540,14 +646,47 @@ def meta_to_reduce_rows(t: pa.Table) -> pa.Table:
 
 
 def make_distributed_reduce(theta: int, source_shards_ref,
-                            theta_compat: str = "exact"):
+                            theta_compat: str = "exact",
+                            lane_mode: bool = False):
     """groupby(kb) finalizer: AND each (query, source) pair's bucket masks,
     clear windows probed in shards the source has NO bank row for (the
     per-query correction structure arrives as co-shuffled meta rows, not a
-    broadcast probe object), count windows, apply theta."""
+    broadcast probe object), count windows, apply theta.  With
+    ``lane_mode`` the kind=0 rows are per-(source, kb) LANES covering every
+    query in the bucket (see ``_emit_lanes``) and the reduce is the
+    vectorized ``_reduce_lane_group``."""
 
     cache: dict = {}
     POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+    def _fill_cache(group_needed: bool = True) -> None:
+        if "src" in cache:
+            return
+        src_shards: dict[str, set[int]] = ray.get(source_shards_ref)
+        full: set[int] = set()
+        for sh in src_shards.values():
+            full |= sh
+        cache["src"] = {
+            int(hash64_str(s)): np.array(sorted(sh), dtype=np.int64)
+            for s, sh in src_shards.items()
+        }
+        cache["name"] = {int(hash64_str(s)): s for s in src_shards}
+        cache["full"] = np.array(sorted(full), dtype=np.int64)
+        cache["is_full"] = {
+            h: arr.size == cache["full"].size
+            for h, arr in cache["src"].items()
+        }
+
+    if lane_mode:
+        def reduce_lanes(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return HITS_SCHEMA.empty_table()
+            _fill_cache()
+            return _reduce_lane_group(
+                group, cache, POP, theta, theta_compat
+            )
+
+        return reduce_lanes
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -721,3 +860,158 @@ def make_distributed_reduce(theta: int, source_shards_ref,
         )
 
     return reduce_bucket
+
+
+def _binary_col_views(col: "pa.ChunkedArray"):
+    """(offsets, data) numpy views over a combined large_binary column."""
+    c = col.combine_chunks()
+    off = np.frombuffer(c.buffers()[1], dtype=np.int64)[
+        c.offset : c.offset + len(c) + 1
+    ]
+    buf = c.buffers()[2]
+    dat = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return off, dat
+
+
+def _gather_ragged(dat: np.ndarray, off: np.ndarray, rows: np.ndarray):
+    """Concatenate ``dat[off[r]:off[r+1]]`` for each r in ``rows`` (a copy,
+    so the result is aligned for dtype views); returns (flat, bounds)."""
+    lens = off[rows + 1] - off[rows]
+    bnd = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    total = int(bnd[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), bnd
+    gidx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(bnd[:-1], lens)
+        + np.repeat(off[rows], lens)
+    )
+    return dat[gidx], bnd
+
+
+def _reduce_lane_group(
+    group: pa.Table, cache: dict, POP: np.ndarray, theta: int,
+    theta_compat: str,
+) -> pa.Table:
+    """Lane-mode reduce for ONE kb group: derive the bucket's local mask
+    layout from its meta rows (qh-sorted, byte-padded — the same order the
+    probe's ``lane_gather`` produced), AND each source's lanes bytewise,
+    popcount per query region, apply the missing-shard correction only to
+    the (source, query) cells that can need it, and threshold.  All array
+    math except the (rare) per-query correction fix-ups."""
+    empty = HITS_SCHEMA.empty_table()
+    kinds = group["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+    meta_idx = np.flatnonzero(kinds == 1)
+    lane_idx = np.flatnonzero(kinds == 0)
+    if meta_idx.size == 0 or lane_idx.size == 0:
+        return empty
+
+    src_shards_by_hash = cache["src"]
+    name_of = cache["name"]
+    full_arr = cache["full"]
+    is_full = cache["is_full"]
+
+    qh_all = group["qh"].combine_chunks().to_numpy(zero_copy_only=False)
+    nw_all = group["nw"].combine_chunks().to_numpy(zero_copy_only=False)
+    si_all = group["si"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    # ---- kb-local layout from the meta rows ----------------------------
+    order_m = np.argsort(qh_all[meta_idx].astype(np.uint64), kind="stable")
+    midx = meta_idx[order_m]
+    nw_loc = nw_all[midx].astype(np.int64)
+    pad = (nw_loc + 7) // 8
+    off_loc = np.concatenate([[0], np.cumsum(pad)]).astype(np.int64)
+    Lk = int(off_loc[-1])
+    Qk = len(midx)
+
+    # constraint structure, flattened once (entries are (shard, window)
+    # pairs; every query has >= 1 entry)
+    cs_off, cs_dat = _binary_col_views(group["c_shard"])
+    cw_off, cw_dat = _binary_col_views(group["c_win"])
+    cs_cat, cs_bnd = _gather_ragged(cs_dat, cs_off, midx)
+    cw_cat, _ = _gather_ragged(cw_dat, cw_off, midx)
+    shards_cat = cs_cat.view("<i8")
+    wins_cat = cw_cat.view("<i4")
+    q_bnd = (cs_bnd // 8).astype(np.int64)
+    in_full_q = np.logical_and.reduceat(
+        np.isin(shards_cat, full_arr), q_bnd[:-1]
+    ) if shards_cat.size else np.zeros(Qk, dtype=bool)
+
+    # ---- lanes grouped by source ---------------------------------------
+    m_off, m_dat = _binary_col_views(group["mask"])
+    order_l = lane_idx[np.argsort(si_all[lane_idx], kind="stable")]
+    si_s = si_all[order_l]
+    seg_b = np.concatenate([[0], np.flatnonzero(np.diff(si_s)) + 1])
+    seg_e = np.concatenate([seg_b[1:], [len(order_l)]])
+
+    thr = min_windows(nw_loc, theta, theta_compat)
+    qid_col = group["qid"]
+
+    out_q: list = []
+    out_s: list = []
+    out_w: list = []
+    out_n: list = []
+    out_f: list = []
+    span = np.arange(Lk, dtype=np.int64)[None, :]
+    for p in range(len(seg_b)):
+        rows = order_l[seg_b[p] : seg_e[p]]
+        if int(m_off[rows[0] + 1] - m_off[rows[0]]) != Lk:
+            raise ValueError("lane length mismatch: probeset/meta desync")
+        stacked = m_dat[m_off[rows][:, None] + span]
+        final = (
+            np.bitwise_and.reduce(stacked, axis=0)
+            if stacked.shape[0] > 1
+            else stacked[0]
+        )
+        counts = np.add.reduceat(POP[final], off_loc[:-1])
+        sh = int(si_s[seg_b[p]])
+        have = src_shards_by_hash.get(sh)
+        if have is None:
+            continue
+        if is_full.get(sh, False):
+            flagged = np.flatnonzero(~in_full_q)
+        else:
+            ok = (
+                np.logical_and.reduceat(
+                    np.isin(shards_cat, have), q_bnd[:-1]
+                )
+                if shards_cat.size
+                else np.zeros(Qk, dtype=bool)
+            )
+            flagged = np.flatnonzero(~ok)
+        for qi in flagged:
+            qi = int(qi)
+            sh_q = shards_cat[q_bnd[qi] : q_bnd[qi + 1]]
+            miss = ~np.isin(sh_q, have)
+            if not miss.any():
+                continue
+            bits = np.unpackbits(
+                final[off_loc[qi] : off_loc[qi + 1]], bitorder="little"
+            )[: nw_loc[qi]].astype(bool)
+            bits[wins_cat[q_bnd[qi] : q_bnd[qi + 1]][miss]] = False
+            counts[qi] = int(bits.sum())
+        hit = np.flatnonzero((counts >= thr) & (nw_loc > 0))
+        if hit.size == 0:
+            continue
+        sname = name_of.get(sh, "")
+        for qi in hit:
+            qi = int(qi)
+            out_q.append(qid_col[int(midx[qi])].as_py())
+            out_s.append(sname)
+            out_w.append(int(counts[qi]))
+            out_n.append(int(nw_loc[qi]))
+            out_f.append(round(int(counts[qi]) * 100.0 / int(nw_loc[qi]), 2))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "wins_found": pa.array(out_w, pa.int64()),
+            "n_wins": pa.array(out_n, pa.int64()),
+            "fraction": pa.array(out_f, pa.float64()),
+        },
+        schema=HITS_SCHEMA,
+    )

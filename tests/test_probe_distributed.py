@@ -77,6 +77,25 @@ def test_distributed_no_driver_probe_build(dist_index, monkeypatch):
     assert calls == [], f"driver-side collection: {calls}"
 
 
+@pytest.mark.parametrize("theta", [100, 60])
+def test_lane_mode_equals_pair_mode(dist_index, theta):
+    """Lane rows (one per (source, reduce bucket), carrying every query's
+    packed mask) must reduce to exactly the per-pair protocol's hits —
+    including queries never constrained for a source, which the pair
+    protocol drops and the lane protocol must clear via the missing-shard
+    correction."""
+    corpus, idx = dist_index
+    queries = make_queries(corpus, CFG.k, n_exact=20, n_negative=20)
+    pair = query_pipe.query_index_streaming_distributed(
+        idx, queries, theta=theta, lane_mode=False
+    ).to_pandas()
+    lane = query_pipe.query_index_streaming_distributed(
+        idx, queries, theta=theta, lane_mode=True
+    ).to_pandas()
+    assert _norm(lane).equals(_norm(pair))
+    assert len(lane) > 0
+
+
 def test_distributed_missing_shard_semantics(ray_session, tmp_path_factory):
     """A source whose bank lacks a probed shard must NOT vacuously match
     (one-doc sources make sparse shard coverage likely)."""
@@ -111,6 +130,12 @@ def test_distributed_missing_shard_semantics(ray_session, tmp_path_factory):
     ).to_pandas()
     assert _norm(dist).equals(_norm(broadcast))
     assert "s0" in set(dist["source"])
+    # the lane protocol relies on the correction to clear vacuous template
+    # regions — this sparse-shard fixture is its adversarial case
+    lane = query_pipe.query_index_streaming_distributed(
+        idx, queries, theta=100, lane_mode=True
+    ).to_pandas()
+    assert _norm(lane).equals(_norm(broadcast))
 
 
 def test_distributed_source_restricted_and_probeset_reuse(
