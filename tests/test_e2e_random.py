@@ -104,3 +104,58 @@ def test_random_corpus_no_false_negatives_and_exact_counts(
                     # Bloom: no false negatives, and reported >= true
                     assert (qid, src) in got, (seed, theta, qid, src)
                     assert got[(qid, src)] >= true_cnt
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_random_corpus_distributed_lane_equals_broadcast(
+    ray_session, tmp_path_factory, seed
+):
+    """Both distributed-probe mask protocols (pair rows and lane rows)
+    must reproduce the broadcast prober EXACTLY on random corpora —
+    random k/h/shards, skewed sources, queries including sub-window
+    (nw=0) rows that yield no probeset entries at all."""
+    from metaprofi_ray.pipelines.query import (
+        query_index_streaming_distributed,
+    )
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 6))
+    cfg = SketchConfig(
+        k=k, h=int(rng.integers(1, 4)), m=1 << 15,
+        shards=int(rng.choice([1, 2, 4, 8])),
+    )
+    corpus = _random_corpus(rng, n_docs=120, n_sources=5, k=k, vocab=400)
+    idx = str(tmp_path_factory.mktemp(f"lane{seed}") / "idx")
+    build_index(rd.from_arrow(corpus), cfg, idx)
+
+    q_rows = {"query_id": [], "tokens": []}
+    for j in range(30):
+        if j % 2 == 0:
+            r = int(rng.integers(0, corpus.num_rows))
+            toks = np.asarray(corpus["tokens"][r].as_py(), dtype=np.int32)
+            q_rows["query_id"].append(f"span{j}")
+            q_rows["tokens"].append(toks)
+        else:
+            q_rows["query_id"].append(f"rand{j}")
+            q_rows["tokens"].append(
+                rng.integers(0, 400, size=int(rng.integers(1, 30)),
+                             dtype=np.int32)
+            )
+    queries = pa.table(
+        {
+            "query_id": q_rows["query_id"],
+            "tokens": pa.array(q_rows["tokens"], pa.list_(pa.int32())),
+        }
+    )
+    theta = int(rng.integers(20, 101))
+    ref = query_table(idx, queries, theta=theta).to_pandas()
+    key = lambda df: sorted(
+        map(tuple,
+            df[["query_id", "source", "wins_found", "n_wins"]]
+            .values.tolist())
+    )
+    for lane in (False, True):
+        got = query_index_streaming_distributed(
+            idx, queries, theta=theta, lane_mode=lane
+        ).to_pandas()
+        assert key(got) == key(ref), (seed, theta, lane)
