@@ -188,13 +188,14 @@ class _ProbesetLayout:
         pad_bits = ((self.nw_sorted + 7) // 8) * 8
         bit_off = np.concatenate([[0], np.cumsum(pad_bits)]).astype(np.int64)
         L = int(bit_off[-1])
-        # each padded query region owns its run of bit positions — O(L)
-        # repeat, no searchsorted over L
-        owner = np.repeat(
-            np.arange(len(self.nw_sorted), dtype=np.int64), pad_bits
-        )
-        pos = np.arange(L, dtype=np.int64)
-        self.template = (pos - bit_off[owner]) < self.nw_sorted[owner]
+        # template via a +1/-1 delta + running sum — two passes over an
+        # int8 array instead of four O(L) int64 temporaries (the gather
+        # form moved ~0.5 GB through memory at 1M queries; this moves
+        # ~2 × L bytes)
+        delta = np.zeros(L + 1, dtype=np.int8)
+        delta[bit_off[:-1]] = 1
+        np.subtract.at(delta, bit_off[:-1] + self.nw_sorted, 1)
+        self.template = np.cumsum(delta[:-1], dtype=np.int8).view(np.bool_)
         self.bit_off = bit_off
         self.byte_off = (bit_off // 8).astype(np.int64)
         self.n_queries = len(self.qh_sorted)
@@ -268,12 +269,14 @@ class SliceProbePlan:
     on the driver.  The layout is shared by every bucket so the reduce
     can AND masks from different buckets positionally."""
 
-    def __init__(self, probeset_dir: str, sb: int, cfg: SketchConfig):
+    def __init__(self, probeset_dir: str, sb: int, cfg: SketchConfig,
+                 layout: "_ProbesetLayout | None" = None):
         import os
 
         import pyarrow.parquet as pq
 
-        layout = _layout_for(probeset_dir)
+        if layout is None:
+            layout = _layout_for(probeset_dir)
         self.qh_sorted = layout.qh_sorted
         self.nw_sorted = layout.nw_sorted
         self.template = layout.template
@@ -336,7 +339,17 @@ class SliceProbePlan:
 
 
 @ray.remote
-def _build_plan_task(probeset_dir: str, sb: int, cfg) -> "SliceProbePlan":
+def _build_layout_task(probeset_dir: str) -> "_ProbesetLayout":
+    """The probeset layout, built ONCE for all buckets (it is identical
+    for every bucket; at 1M queries it costs a meta scan + O(L) template
+    work the plan builds should not each repeat)."""
+    return _ProbesetLayout(probeset_dir)
+
+
+@ray.remote
+def _build_plan_task(
+    probeset_dir: str, sb: int, cfg, layout=None
+) -> "SliceProbePlan":
     """One bucket's plan, built ONCE in a Ray task.  The returned object
     lands in the object store, so every probe task on every node reads the
     same numpy payloads zero-copy from local plasma instead of re-decoding
@@ -344,7 +357,7 @@ def _build_plan_task(probeset_dir: str, sb: int, cfg) -> "SliceProbePlan":
     replaces up to workers x NSB plan builds with exactly NSB."""
     import os
 
-    plan = SliceProbePlan(probeset_dir, sb, cfg)
+    plan = SliceProbePlan(probeset_dir, sb, cfg, layout=layout)
     if os.environ.get("METAPROFI_PLAN_LOG"):
         with open(os.environ["METAPROFI_PLAN_LOG"], "a") as f:
             f.write(f"{os.getpid()} broadcast {sb}\n")
@@ -352,10 +365,13 @@ def _build_plan_task(probeset_dir: str, sb: int, cfg) -> "SliceProbePlan":
 
 
 def build_plan_refs(probeset_dir: str, nsb: int, cfg) -> dict:
-    """Kick off the NSB plan builds in parallel; returns {sb: ObjectRef}.
-    Non-blocking — probe tasks block on their bucket's ref only."""
+    """Kick off the layout build then the NSB plan builds in parallel;
+    returns {sb: ObjectRef}.  Non-blocking — probe tasks block on their
+    bucket's ref only; the layout ref resolves as a task dependency
+    (zero-copy numpy from plasma), so the layout is built exactly once."""
+    layout_ref = _build_layout_task.remote(probeset_dir)
     return {
-        sb: _build_plan_task.remote(probeset_dir, sb, cfg)
+        sb: _build_plan_task.remote(probeset_dir, sb, cfg, layout_ref)
         for sb in range(nsb)
     }
 
