@@ -160,11 +160,34 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def e2e_only(n_queries: int) -> None:
+    """One end-to-end distributed search at an arbitrary query count
+    (the 4M-tier record in BENCH/BASELINE.md was produced with this)."""
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    import ray
+
+    from metaprofi_ray.pipelines import query as query_pipe
+
+    _ensure_index()
+    qt = _queries(n_queries)
+    t0 = time.perf_counter()
+    n = query_pipe.query_index_streaming_distributed(
+        INDEX_DIR, qt, theta=75
+    ).count()
+    print(json.dumps({"n_queries": n_queries,
+                      "e2e_sec": round(time.perf_counter() - t0, 3),
+                      "hits": int(n)}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--prep-only" in sys.argv:
         i = sys.argv.index("--prep-only")
         ncpu = int(sys.argv[i + 1])
         nq = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1_000_000
         prep_only(ncpu, nq)
+    elif "--e2e" in sys.argv:
+        i = sys.argv.index("--e2e")
+        e2e_only(int(sys.argv[i + 1]))
     else:
         main()
