@@ -965,13 +965,13 @@ def _reduce_lane_group(
     seg_e = np.concatenate([seg_b[1:], [len(order_l)]])
 
     thr = min_windows(nw_loc, theta, theta_compat)
-    qid_col = group["qid"]
+    qid_col = group["qid"].combine_chunks()
 
-    out_q: list = []
-    out_s: list = []
-    out_w: list = []
-    out_n: list = []
-    out_f: list = []
+    hit_midx: list[np.ndarray] = []
+    hit_w: list[np.ndarray] = []
+    hit_n: list[np.ndarray] = []
+    hit_src: list[str] = []
+    hit_len: list[int] = []
     span = np.arange(Lk, dtype=np.int64)[None, :]
     for p in range(len(seg_b)):
         rows = order_l[seg_b[p] : seg_e[p]]
@@ -1013,21 +1013,28 @@ def _reduce_lane_group(
         hit = np.flatnonzero((counts >= thr) & (nw_loc > 0))
         if hit.size == 0:
             continue
-        sname = name_of.get(sh, "")
-        for qi in hit:
-            qi = int(qi)
-            out_q.append(qid_col[int(midx[qi])].as_py())
-            out_s.append(sname)
-            out_w.append(int(counts[qi]))
-            out_n.append(int(nw_loc[qi]))
-            out_f.append(round(int(counts[qi]) * 100.0 / int(nw_loc[qi]), 2))
+        hit_midx.append(midx[hit])
+        hit_w.append(counts[hit])
+        hit_n.append(nw_loc[hit])
+        hit_src.append(name_of.get(sh, ""))
+        hit_len.append(int(hit.size))
+    if not hit_midx:
+        return empty
+    all_midx = np.concatenate(hit_midx)
+    all_w = np.concatenate(hit_w).astype(np.int64)
+    all_n = np.concatenate(hit_n).astype(np.int64)
+    qids = qid_col.take(pa.array(all_midx)).cast(pa.string())
+    srcs = pa.array(
+        np.repeat(np.array(hit_src, dtype=object), hit_len), pa.string()
+    )
+    fracs = (all_w * 100.0 / all_n).round(2)  # matches probe.py's rounding
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.string()),
-            "source": pa.array(out_s, pa.string()),
-            "wins_found": pa.array(out_w, pa.int64()),
-            "n_wins": pa.array(out_n, pa.int64()),
-            "fraction": pa.array(out_f, pa.float64()),
+            "query_id": qids,
+            "source": srcs,
+            "wins_found": pa.array(all_w),
+            "n_wins": pa.array(all_n),
+            "fraction": pa.array(fracs),
         },
         schema=HITS_SCHEMA,
     )
