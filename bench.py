@@ -197,6 +197,19 @@ def run_bench() -> dict:
     )
     timings["bloom_query_10k_streaming"] = round(t_stream, 3)
 
+    # distributed-probe path (probe set as a Dataset, lane-mode mask
+    # shuffle auto-selected at 10k queries) — the ≫100k-query scale form,
+    # timed here at bench scale for round-over-round tracking
+    t_dist = min(
+        _timed_call(
+            lambda: query_pipe.query_index_streaming_distributed(
+                index_dir, qt10k, theta=75
+            ).count()
+        )
+        for _ in range(2)
+    )
+    timings["bloom_query_10k_distributed"] = round(t_dist, 3)
+
     # warm interactive service (raw actor pool, index broadcast once):
     # best of 3 — the latency regime the Dataset path can't reach
     from metaprofi_ray.pipelines.query_service import QueryService
