@@ -172,6 +172,44 @@ def test_distributed_source_restricted_and_probeset_reuse(
     assert _norm(again).equals(_norm(restricted))
 
 
+def test_distributed_query_survives_worker_crash(dist_index, tmp_path):
+    """A probe worker dying mid-run (os._exit, the real crash path — not
+    a Python exception) must be retried by Ray with identical results:
+    probe tasks are pure functions of (bank block, plasma-shared plan),
+    so retries are safe by construction.  The build side has the same
+    evidence via checkpoint kill+resume; this pins the query side."""
+    import os
+
+    import metaprofi_ray.stages.probe_distributed as pdist
+    from metaprofi_ray.pipelines import query as query_pipe
+
+    corpus, idx = dist_index
+    queries = make_queries(corpus, CFG.k, n_exact=15, n_negative=10)
+    baseline = query_pipe.query_table(idx, queries, theta=75).to_pandas()
+
+    marker = str(tmp_path / "crashed_once")
+    orig = pdist.probe_any_batch
+
+    def crash_once_then_probe(batch, **kw):
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)  # simulate worker death, not a UDF exception
+        return orig(batch, **kw)
+
+    # query.py resolves probe_any_batch from the module at call time, and
+    # the local wrapper is cloudpickled BY VALUE into the task, so the
+    # patched driver-side attribute is what workers execute
+    pdist.probe_any_batch = crash_once_then_probe
+    try:
+        hits = query_pipe.query_index_streaming_distributed(
+            idx, queries, theta=75
+        ).to_pandas()
+    finally:
+        pdist.probe_any_batch = orig
+    assert os.path.exists(marker), "crash never fired; test is vacuous"
+    assert _norm(hits).equals(_norm(baseline))
+
+
 def test_probeset_sweep_age_policy(tmp_path):
     """Anonymous probeset dirs older than the TTL are swept; fresh and
     caller-named dirs survive (TODO r4: probeset lifecycle)."""
