@@ -238,6 +238,7 @@ def query_index_streaming_distributed(
     from ..stages.probe_distributed import (
         build_plan_refs,
         make_distributed_reduce,
+        meta_to_packed_rows,
         meta_to_reduce_rows,
         prep_probe_batch,
         probe_any_batch,
@@ -344,9 +345,18 @@ def query_index_streaming_distributed(
         batch_size=None,
         num_cpus=1,
     )
+    # lane mode packs each batch's meta into one row per kb (the meta-side
+    # mirror of the lane masks) — per-query meta rows are otherwise the
+    # shuffle's row-count dominator at large query counts.  The lane
+    # reduce accepts both forms; METAPROFI_PACKED_META=0 forces the
+    # per-query form (A/B escape hatch).
+    packed = lane_mode and os.environ.get(
+        "METAPROFI_PACKED_META", "1"
+    ) != "0"
+    meta_fn = meta_to_packed_rows if packed else meta_to_reduce_rows
     meta_rows = rd.read_parquet(
         meta_dir, columns=["kb", "qh", "qid", "nw", "c_shard", "c_win"]
-    ).map_batches(meta_to_reduce_rows, batch_format="pyarrow")
+    ).map_batches(meta_fn, batch_format="pyarrow")
     combined = masks.union(meta_rows)
     return combined.groupby("kb").map_groups(
         make_distributed_reduce(theta, source_shards_ref,

@@ -661,6 +661,119 @@ def meta_to_reduce_rows(t: pa.Table) -> pa.Table:
     )
 
 
+def meta_to_packed_rows(t: pa.Table) -> pa.Table:
+    """Lane-mode meta: pack each batch's per-query meta rows into ONE row
+    per kb (kind=2) — the meta-side mirror of ``_emit_lanes``.  At 1M+
+    queries the per-query meta rows are the mask shuffle's row-count
+    dominator once lanes exist; packing drops sort input from O(queries)
+    to O(batches × NKB) rows with identical bytes.
+
+    Wire format (internal to this module):
+      ``nw``      = n, the packed query count
+      ``mask``    = qh (u8×n) | nw (i4×n) | nent (i4×n) |
+                    qid_off (i8×(n+1), relative) | qid utf8 bytes
+      ``c_shard`` = the n queries' c_shard blobs concatenated
+      ``c_win``   = the n queries' c_win blobs concatenated
+    ``nent`` is each query's (shard, window) entry count, recovering the
+    per-query slices of c_shard (×8 bytes) and c_win (×4 bytes)."""
+    if t.num_rows == 0:
+        return MASK_SCHEMA.empty_table()
+    kb = t["kb"].combine_chunks().to_numpy(zero_copy_only=False)
+    qh = t["qh"].combine_chunks().to_numpy(zero_copy_only=False)
+    nw = (
+        t["nw"].combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+    )
+    cs_off, cs_dat = _binary_col_views(t["c_shard"])
+    cw_off, cw_dat = _binary_col_views(t["c_win"])
+    qid_c = t["qid"].combine_chunks().cast(pa.large_string())
+    q_off = np.frombuffer(qid_c.buffers()[1], dtype=np.int64)[
+        qid_c.offset : qid_c.offset + len(qid_c) + 1
+    ]
+    q_buf = qid_c.buffers()[2]
+    q_dat = (
+        np.frombuffer(q_buf, dtype=np.uint8)
+        if q_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+
+    out = {name: [] for name in MASK_SCHEMA.names}
+    order = np.argsort(kb, kind="stable")
+    kb_s = kb[order]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(kb_s)) + 1, [len(kb_s)]]
+    )
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        rows = order[s0:s1]
+        n = len(rows)
+        cs_cat, cs_bnd = _gather_ragged(cs_dat, cs_off, rows)
+        cw_cat, _ = _gather_ragged(cw_dat, cw_off, rows)
+        nent = ((cs_bnd[1:] - cs_bnd[:-1]) // 8).astype(np.int32)
+        qd_cat, qd_bnd = _gather_ragged(q_dat, q_off, rows)
+        blob = b"".join(
+            [
+                qh[rows].astype("<u8").tobytes(),
+                nw[rows].astype("<i4").tobytes(),
+                nent.tobytes(),
+                qd_bnd.astype("<i8").tobytes(),
+                qd_cat.tobytes(),
+            ]
+        )
+        out["kb"].append(int(kb_s[s0]))
+        out["kind"].append(2)
+        out["qh"].append(0)
+        out["si"].append(0)
+        out["mask"].append(blob)
+        out["qid"].append("")
+        out["nw"].append(n)
+        out["c_shard"].append(cs_cat.tobytes())
+        out["c_win"].append(cw_cat.tobytes())
+    return pa.table(
+        {n: pa.array(out[n], MASK_SCHEMA.field(n).type)
+         for n in MASK_SCHEMA.names},
+        schema=MASK_SCHEMA,
+    )
+
+
+def _unpack_meta_rows(group: pa.Table, rows: np.ndarray):
+    """Inverse of ``meta_to_packed_rows`` over a group's kind=2 rows:
+    returns (qh, nw, nent, qid_arrays, cs_cat, cw_cat) concatenated in
+    row order — all numpy except the per-row zero-copy Arrow qid arrays."""
+    nw_col = group["nw"].combine_chunks().to_numpy(zero_copy_only=False)
+    m_off, m_dat = _binary_col_views(group["mask"])
+    cs_off, cs_dat = _binary_col_views(group["c_shard"])
+    cw_off, cw_dat = _binary_col_views(group["c_win"])
+    qhs, nws, nents, qid_arrays = [], [], [], []
+    for r in rows:
+        r = int(r)
+        n = int(nw_col[r])
+        blob = m_dat[m_off[r] : m_off[r + 1]]
+        p = 0
+        qhs.append(blob[p : p + 8 * n].copy().view("<u8")); p += 8 * n
+        nws.append(blob[p : p + 4 * n].copy().view("<i4")); p += 4 * n
+        nents.append(blob[p : p + 4 * n].copy().view("<i4")); p += 4 * n
+        qd_bnd = blob[p : p + 8 * (n + 1)].copy().view("<i8")
+        p += 8 * (n + 1)
+        qd = blob[p:]
+        qid_arrays.append(
+            pa.Array.from_buffers(
+                pa.large_string(), n,
+                [None, pa.py_buffer(qd_bnd.tobytes()),
+                 pa.py_buffer(qd.tobytes())],
+            )
+        )
+    cs_cat, _ = _gather_ragged(cs_dat, cs_off, rows)
+    cw_cat, _ = _gather_ragged(cw_dat, cw_off, rows)
+    return (
+        np.concatenate(qhs) if qhs else np.empty(0, dtype=np.uint64),
+        np.concatenate(nws) if nws else np.empty(0, dtype=np.int32),
+        np.concatenate(nents) if nents else np.empty(0, dtype=np.int32),
+        qid_arrays,
+        cs_cat,
+        cw_cat,
+    )
+
+
 def make_distributed_reduce(theta: int, source_shards_ref,
                             theta_compat: str = "exact",
                             lane_mode: bool = False):
@@ -921,9 +1034,9 @@ def _reduce_lane_group(
     math except the (rare) per-query correction fix-ups."""
     empty = HITS_SCHEMA.empty_table()
     kinds = group["kind"].combine_chunks().to_numpy(zero_copy_only=False)
-    meta_idx = np.flatnonzero(kinds == 1)
+    meta_idx = np.flatnonzero(kinds == 2)
     lane_idx = np.flatnonzero(kinds == 0)
-    if meta_idx.size == 0 or lane_idx.size == 0:
+    if lane_idx.size == 0:
         return empty
 
     src_shards_by_hash = cache["src"]
@@ -931,27 +1044,54 @@ def _reduce_lane_group(
     full_arr = cache["full"]
     is_full = cache["is_full"]
 
-    qh_all = group["qh"].combine_chunks().to_numpy(zero_copy_only=False)
-    nw_all = group["nw"].combine_chunks().to_numpy(zero_copy_only=False)
     si_all = group["si"].combine_chunks().to_numpy(zero_copy_only=False)
 
-    # ---- kb-local layout from the meta rows ----------------------------
-    order_m = np.argsort(qh_all[meta_idx].astype(np.uint64), kind="stable")
-    midx = meta_idx[order_m]
-    nw_loc = nw_all[midx].astype(np.int64)
+    # ---- kb-local layout from the meta rows (kind=2 packed, the lane
+    # default; kind=1 per-query rows accepted as a fallback) -------------
+    if meta_idx.size:
+        qh_cat, nw_cat, nent_cat, qid_arrays, cs_cat, cw_cat = (
+            _unpack_meta_rows(group, meta_idx)
+        )
+    else:
+        m1 = np.flatnonzero(kinds == 1)
+        if m1.size == 0:
+            return empty
+        qh_cat = group["qh"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[m1]
+        nw_cat = group["nw"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[m1].astype(np.int32)
+        cs_off, cs_dat = _binary_col_views(group["c_shard"])
+        cw_off, cw_dat = _binary_col_views(group["c_win"])
+        cs_cat, cs_b1 = _gather_ragged(cs_dat, cs_off, m1)
+        cw_cat, _ = _gather_ragged(cw_dat, cw_off, m1)
+        nent_cat = ((cs_b1[1:] - cs_b1[:-1]) // 8).astype(np.int32)
+        qid_arrays = [
+            group["qid"].combine_chunks().cast(pa.large_string())
+            .take(pa.array(m1))
+        ]
+    if qh_cat.size == 0:
+        return empty
+    order_m = np.argsort(qh_cat, kind="stable")
+    nw_loc = nw_cat[order_m].astype(np.int64)
     pad = (nw_loc + 7) // 8
     off_loc = np.concatenate([[0], np.cumsum(pad)]).astype(np.int64)
     Lk = int(off_loc[-1])
-    Qk = len(midx)
+    Qk = len(order_m)
+    qid_all = (
+        pa.concat_arrays(qid_arrays)
+        if len(qid_arrays) > 1
+        else qid_arrays[0]
+    )
 
-    # constraint structure, flattened once (entries are (shard, window)
-    # pairs; every query has >= 1 entry)
-    cs_off, cs_dat = _binary_col_views(group["c_shard"])
-    cw_off, cw_dat = _binary_col_views(group["c_win"])
-    cs_cat, cs_bnd = _gather_ragged(cs_dat, cs_off, midx)
-    cw_cat, _ = _gather_ragged(cw_dat, cw_off, midx)
-    shards_cat = cs_cat.view("<i8")
-    wins_cat = cw_cat.view("<i4")
+    # constraint structure re-sliced into qh-sorted order (entries are
+    # (shard, window) pairs; every query has >= 1 entry)
+    ent_b = np.concatenate([[0], np.cumsum(nent_cat.astype(np.int64))])
+    cs_sorted, cs_bnd = _gather_ragged(cs_cat, ent_b * 8, order_m)
+    cw_sorted, _ = _gather_ragged(cw_cat, ent_b * 4, order_m)
+    shards_cat = cs_sorted.view("<i8")
+    wins_cat = cw_sorted.view("<i4")
     q_bnd = (cs_bnd // 8).astype(np.int64)
     in_full_q = np.logical_and.reduceat(
         np.isin(shards_cat, full_arr), q_bnd[:-1]
@@ -965,7 +1105,6 @@ def _reduce_lane_group(
     seg_e = np.concatenate([seg_b[1:], [len(order_l)]])
 
     thr = min_windows(nw_loc, theta, theta_compat)
-    qid_col = group["qid"].combine_chunks()
 
     hit_midx: list[np.ndarray] = []
     hit_w: list[np.ndarray] = []
@@ -1013,7 +1152,7 @@ def _reduce_lane_group(
         hit = np.flatnonzero((counts >= thr) & (nw_loc > 0))
         if hit.size == 0:
             continue
-        hit_midx.append(midx[hit])
+        hit_midx.append(order_m[hit])
         hit_w.append(counts[hit])
         hit_n.append(nw_loc[hit])
         hit_src.append(name_of.get(sh, ""))
@@ -1023,7 +1162,7 @@ def _reduce_lane_group(
     all_midx = np.concatenate(hit_midx)
     all_w = np.concatenate(hit_w).astype(np.int64)
     all_n = np.concatenate(hit_n).astype(np.int64)
-    qids = qid_col.take(pa.array(all_midx)).cast(pa.string())
+    qids = qid_all.take(pa.array(all_midx)).cast(pa.string())
     srcs = pa.array(
         np.repeat(np.array(hit_src, dtype=object), hit_len), pa.string()
     )
