@@ -255,8 +255,16 @@ def query_index_streaming_distributed(
     else:
         qds = queries
     try:
-        if qds.num_blocks() < pool_max:
-            qds = qds.repartition(pool_max * 2)
+        # the PREP pass is a pure map over the query set — parallelize it
+        # to the cluster, not to the prober pool knob (16 prep tasks on a
+        # 32-CPU node halved e2e prep before this)
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            ncpu = 0
+        prep_target = max(pool_max * 2, ncpu * 2)
+        if qds.num_blocks() < prep_target:
+            qds = qds.repartition(prep_target)
     except Exception:
         pass
     if probeset_dir is None:
