@@ -155,6 +155,12 @@ def test_distributed_source_restricted_and_probeset_reuse(
         idx, queries, theta=100, sources=[target], probeset_dir=pdir
     ).to_pandas()
     assert _norm(restricted).equals(_norm(full[full["source"] == target]))
+    # lane rows cover every query of a bucket but only the sources the
+    # pruned read produced — restriction must hold in lane mode too
+    lane_restricted = query_pipe.query_index_streaming_distributed(
+        idx, queries, theta=100, sources=[target], lane_mode=True
+    ).to_pandas()
+    assert _norm(lane_restricted).equals(_norm(restricted))
     # second call with the same probeset_dir must not re-run prep
     import metaprofi_ray.stages.probe_distributed as pdist
 
