@@ -96,6 +96,20 @@ def test_lane_mode_equals_pair_mode(dist_index, theta):
     assert len(lane) > 0
 
 
+def test_lane_mode_theta_compat_reference(dist_index):
+    """The reference's float threshold form must flow through the lane
+    reduce's vectorized min_windows call identically."""
+    corpus, idx = dist_index
+    queries = make_queries(corpus, CFG.k, n_exact=15, n_negative=10)
+    ref = query_pipe.query_table(
+        idx, queries, theta=57, theta_compat="reference"
+    ).to_pandas()
+    lane = query_pipe.query_index_streaming_distributed(
+        idx, queries, theta=57, theta_compat="reference", lane_mode=True
+    ).to_pandas()
+    assert _norm(lane).equals(_norm(ref))
+
+
 def test_distributed_missing_shard_semantics(ray_session, tmp_path_factory):
     """A source whose bank lacks a probed shard must NOT vacuously match
     (one-doc sources make sparse shard coverage likely)."""
