@@ -269,3 +269,49 @@ class TestFeatureExtract:
         assert a.equals(b)
         assert set(a["kind"]) == {"image", "audio", "video"}
         assert (a["mean_feature_norm"] > 0).all()
+
+
+class TestBpeTrain:
+    def test_distributed_matches_local_reference(
+        self, ray_session, tmp_path
+    ):
+        """The distributed trainer must reproduce the textbook algorithm's
+        merge table exactly (same pairs, same counts, same order) on a
+        corpus with known structure plus the sf documents sample."""
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.bpe import bpe_train, bpe_train_local
+
+        texts = [
+            "low low low lower lowest",
+            "new newer newest new new",
+            "wide wider widest low new",
+            "aaaa aa aaa a",  # overlapping-merge stress (a,a) chains
+        ] * 3
+        d = str(tmp_path / "bpe")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        list(range(len(texts))), pa.int64()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(["s"] * len(texts), pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = bpe_train(d, n_merges=12).to_pylist()
+        want = bpe_train_local(texts, n_merges=12)
+        assert [(r["left"], r["right"], r["n"]) for r in got] == want
+        assert [r["rank"] for r in got] == list(range(len(got)))
+
+    def test_runs_on_sf_documents(self, ray_session):
+        from metaprofi_ray.pipelines.bpe import bpe_train
+
+        merges = bpe_train(SF, n_merges=3)
+        assert merges.num_rows == 3
+        # counts must be non-increasing with rank (greedy order)
+        ns = merges["n"].to_pylist()
+        assert ns == sorted(ns, reverse=True)
