@@ -184,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
 
         out = remove_sources(
             a.index_dir,
-            [s for s in a.sources.split(",") if s.strip()],
+            [s.strip() for s in a.sources.split(",") if s.strip()],
             a.out_dir,
         )
         print(f"removed sources; new index at {out}")

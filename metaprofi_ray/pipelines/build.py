@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import SketchConfig
+from ..logutil import silence_empty_schema_warnings
 from ..sources import io as bank_io
 from ..stages.bloom_build import (
     PARTIAL_SCHEMA,
@@ -162,6 +163,7 @@ def build_index(
     skew-aware merge (see ``merge_banks``); ``src_buckets`` sizes the
     hive-partitioned bank layout (see ``write_banks``).
     """
+    silence_empty_schema_warnings()
     banks_dir = os.path.join(index_dir, bank_io.BANKS)
     if os.path.exists(os.path.join(index_dir, bank_io.MANIFEST)):
         raise FileExistsError(f"index already exists at {index_dir}")

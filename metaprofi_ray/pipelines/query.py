@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..logutil import silence_empty_schema_warnings
 from ..sources.io import BankIndex
 from ..stages.probe import HITS_SCHEMA, probe_batch
 
@@ -42,6 +43,7 @@ def query_index(
     """
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
+    silence_empty_schema_warnings()
     index = BankIndex.load(index_dir)
     index_ref = ray.put(index)
     # a single-block query source (from_arrow / one small file) would feed
@@ -111,6 +113,7 @@ def query_index_streaming(
 
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
+    silence_empty_schema_warnings()
     cfg, doc = bank_io.read_manifest(index_dir)
     probe_ref = ray.put(QueryProbeSet(queries, cfg))
     files, _total = bank_io.bank_files(index_dir, sources=sources)
@@ -246,6 +249,7 @@ def query_index_streaming_distributed(
 
     if not 1 <= theta <= 100:
         raise ValueError("theta must be in [1, 100]")
+    silence_empty_schema_warnings()
     cfg, _ = bank_io.read_manifest(index_dir)
     nsb = bank_io.shard_bucket_count(index_dir) or 1
     pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency

@@ -96,7 +96,9 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
             df["c_name"] = df["o_custkey"].map(self.names)
             return df
 
-    joined = per_cust.map_batches(AttachName, batch_format="pandas", concurrency=1)
+    joined = per_cust.map_batches(
+        AttachName, batch_format="pandas", concurrency=(1, 8)
+    )
     top = joined.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
     df = top.to_pandas()
     df["total_spent"] = round_half_away(df["total_spent"], 2)
@@ -171,7 +173,7 @@ def supplier_nation_rollup(sf_dir: str) -> pd.DataFrame:
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return df.merge(self.dim, left_on="s_nationkey", right_on="n_nationkey")
 
-    joined = sup.map_batches(Attach, batch_format="pandas", concurrency=1)
+    joined = sup.map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
     agg = joined.groupby(["r_name", "n_name"]).aggregate(
         Count(alias_name="n_suppliers"),
         Sum("s_acctbal", alias_name="total_acctbal"),

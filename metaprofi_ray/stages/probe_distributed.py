@@ -378,10 +378,12 @@ def build_plan_refs(probeset_dir: str, nsb: int, cfg) -> dict:
 
 # Per-process cache of plasma-backed plans keyed by ObjectRef so a worker
 # deserializes each shared plan's dict structure once (array payloads stay
-# zero-copy views over plasma either way).  Holding the views pins the
-# plasma objects, so the cap is small; backing memory is shared node-wide.
+# zero-copy views over plasma either way).  Holding the views PINS the
+# plasma objects, so the cap is byte-based like _PLAN_MEMO's (a count cap
+# of 16 could pin ~5 GB of object store across successive 1M-query runs
+# on a long-lived worker — each large plan is ~300 MB).
 _SHARED_PLAN_CACHE: "dict[bytes, SliceProbePlan]" = {}
-_SHARED_PLAN_CACHE_MAX = 16
+_SHARED_PLAN_CACHE_BYTES_MAX = 1 << 30
 
 
 def _plan_from_ref(ref) -> "SliceProbePlan":
@@ -390,8 +392,12 @@ def _plan_from_ref(ref) -> "SliceProbePlan":
     if plan is None:
         plan = ray.get(ref)
     _SHARED_PLAN_CACHE[key] = plan  # dict order == LRU order
-    while len(_SHARED_PLAN_CACHE) > _SHARED_PLAN_CACHE_MAX:
-        _SHARED_PLAN_CACHE.pop(next(iter(_SHARED_PLAN_CACHE)))
+    total = sum(
+        getattr(p, "nbytes", 0) for p in _SHARED_PLAN_CACHE.values()
+    )
+    while total > _SHARED_PLAN_CACHE_BYTES_MAX and len(_SHARED_PLAN_CACHE) > 1:
+        oldest = next(iter(_SHARED_PLAN_CACHE))
+        total -= getattr(_SHARED_PLAN_CACHE.pop(oldest), "nbytes", 0)
     return plan
 
 
@@ -1105,6 +1111,9 @@ def _reduce_lane_group(
     seg_e = np.concatenate([seg_b[1:], [len(order_l)]])
 
     thr = min_windows(nw_loc, theta, theta_compat)
+    # window-key stride for the (query, window) dedupe in the vectorized
+    # missing-shard correction below
+    Wmax = int(nw_loc.max()) + 1 if Qk else 1
 
     hit_midx: list[np.ndarray] = []
     hit_w: list[np.ndarray] = []
@@ -1138,17 +1147,38 @@ def _reduce_lane_group(
                 else np.zeros(Qk, dtype=bool)
             )
             flagged = np.flatnonzero(~ok)
-        for qi in flagged:
-            qi = int(qi)
-            sh_q = shards_cat[q_bnd[qi] : q_bnd[qi + 1]]
-            miss = ~np.isin(sh_q, have)
-            if not miss.any():
-                continue
-            bits = np.unpackbits(
-                final[off_loc[qi] : off_loc[qi + 1]], bitorder="little"
-            )[: nw_loc[qi]].astype(bool)
-            bits[wins_cat[q_bnd[qi] : q_bnd[qi + 1]][miss]] = False
-            counts[qi] = int(bits.sum())
+        if flagged.size:
+            # vectorized correction: a window probed through a shard this
+            # source lacks cannot be confirmed, so its bit must not count.
+            # Gather every flagged query's (shard, window) entries at once,
+            # keep the entries whose shard is missing, dedupe (query,
+            # window) — a window appears once per hash function, zeroing is
+            # idempotent — and subtract the popcount of the SET bits at
+            # exactly those positions.  Equivalent to the former per-query
+            # unpackbits/zero/repack, with no per-cell Python (adversarial
+            # sparse-shard indexes flag ~S x Q cells).
+            lens_f = q_bnd[flagged + 1] - q_bnd[flagged]
+            total = int(lens_f.sum())
+            if total:
+                csum_f = np.cumsum(lens_f)
+                gidx = np.arange(total, dtype=np.int64) + np.repeat(
+                    q_bnd[flagged] - np.concatenate(([0], csum_f[:-1])),
+                    lens_f,
+                )
+                miss_e = ~np.isin(shards_cat[gidx], have)
+                if miss_e.any():
+                    qi_m = np.repeat(flagged, lens_f)[miss_e].astype(
+                        np.int64
+                    )
+                    win_m = wins_cat[gidx[miss_e]].astype(np.int64)
+                    key = np.unique(qi_m * Wmax + win_m)
+                    qi_u = key // Wmax
+                    win_u = key % Wmax
+                    byte = off_loc[qi_u] + (win_u >> 3)
+                    is_set = (final[byte] >> (win_u & 7)) & 1
+                    counts = counts - np.bincount(
+                        qi_u, weights=is_set, minlength=Qk
+                    ).astype(counts.dtype)
         hit = np.flatnonzero((counts >= thr) & (nw_loc > 0))
         if hit.size == 0:
             continue
