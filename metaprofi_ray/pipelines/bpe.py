@@ -4,27 +4,37 @@ The counting face (`textstats.token_counts_bpe`) tokenizes with a FIXED
 BPE-ish regex; this module LEARNS the merge table itself — the vocab-
 construction step a training-data pipeline runs over its corpus before
 tokenizer freeze.  Classic word-level BPE (Sennrich et al. 2016, public
-algorithm):
+algorithm), with a batched merge schedule for production vocab sizes:
 
   1. One corpus pass builds the DISTINCT-WORD frequency table
      (``groupby(word).sum(freq)``) — the Zipf-bounded small side that
      all training iterations run against (distinct words ≪ corpus; at
      web scale ~10⁷–10⁸ rows vs 10¹²⁺ tokens).  Words are stored as
-     symbol-sequence strings joined by U+0001 (a byte that cannot occur
-     in the whitespace-split words), initial symbols = characters plus
-     the ``</w>`` end marker.
-  2. Each merge iteration is one small distributed pass over the word
+     symbol-sequence strings joined by U+0001, initial symbols =
+     characters plus the ``</w>`` end marker.  U+0001 itself is NOT
+     whitespace, so real text can contain it inside a word — it is
+     stripped during word-table construction (both here and in the
+     local parity reference), never silently corrupting the encoding.
+  2. Each merge ROUND is one small distributed pass over the word
      table: ``map_batches`` emits (pair, total_freq) partials per block
      (a combiner — pair counts collapse within each block before the
-     shuffle), ``groupby(pair).sum`` reduces, and the winner is the
-     lexicographically-smallest pair among the max-count ties (total
-     order → deterministic across block layouts).  The merge is then
-     applied with another ``map_batches`` (string replace on the
-     delimited form — no Python pair loops over the corpus, only over
-     each block's distinct words).
+     shuffle), ``groupby(pair).sum`` reduces, and each block then keeps
+     only its TOP-K rows under the (count desc, pair asc) total order —
+     the union of block top-Ks contains the exact global top-K (each
+     post-groupby row carries its final global count), so the driver
+     re-sorts the tiny candidate set and never pays a whole-dataset
+     sort per round.  From the global top-K the round greedily selects
+     up to ``batch`` pairwise-DISJOINT merges (no selected pair shares
+     a symbol with the left/right/merged symbol of an earlier selected
+     pair): disjoint merges neither create nor destroy each other's
+     adjacencies, so applying the whole batch in one pass over the
+     word table equals applying them one at a time with counts frozen
+     at round start.  ``batch=1`` degenerates to the exact textbook
+     sequential algorithm; a 32k-merge production vocab runs in
+     ~vocab/batch distributed rounds instead of 32k.
   3. The word table stays MATERIALIZED in the object store between
-     iterations (it is the bounded small side; the corpus itself is
-     read exactly once, in step 1).
+     rounds (it is the bounded small side; the corpus itself is read
+     exactly once, in step 1).
 
 No counterpart in the reference (its tokens are pre-assigned integer
 ids; metaprofi never learns a vocabulary) — this is part of the
@@ -45,13 +55,18 @@ END = "</w>"
 
 def _words_to_symbol_rows(t: pa.Table) -> pa.Table:
     """One batch of documents → (word, freq) partials: whitespace-split,
-    per-block combine (dedupe words within the batch before shuffling)."""
+    per-block combine (dedupe words within the batch before shuffling).
+    Strips the internal SEP byte from words (see module docstring)."""
     texts = t["text"].to_pylist()
     counts: dict[str, int] = {}
     for txt in texts:
         if not txt:
             continue
         for w in txt.split():
+            if SEP in w:
+                w = w.replace(SEP, "")
+                if not w:
+                    continue
             counts[w] = counts.get(w, 0) + 1
     if not counts:
         return pa.table(
@@ -101,19 +116,61 @@ def _pair_partials(t: pa.Table) -> pa.Table:
     )
 
 
-def _apply_merge(t: pa.Table, left: str, right: str) -> pa.Table:
-    """Replace every (left, right) adjacency with the merged symbol."""
-    merged = left + right
-    pat = SEP + left + SEP + right + SEP
-    rep = SEP + merged + SEP
+def _block_topk(t: pa.Table, k: int) -> pa.Table:
+    """Keep a block's top-k rows under (n desc, left asc, right asc).
+    Post-groupby each (left, right) row carries its FINAL global count,
+    so the union of block top-ks ⊇ the exact global top-k."""
+    if t.num_rows <= k:
+        return t
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("n", "descending"), ("left", "ascending"),
+                   ("right", "ascending")],
+    )
+    return t.take(idx.slice(0, k))
+
+
+def _select_disjoint(
+    cands: list[tuple[int, str, str]], batch: int, min_freq: int
+) -> list[tuple[str, str, int]]:
+    """Greedy disjoint-merge selection over the (count desc, pair asc)
+    ordered candidate list: a pair is selected iff none of its left /
+    right / merged symbol strings was touched by an earlier selection.
+    Disjointness makes the batch order-independent and equal to a
+    sequential application with counts frozen at round start."""
+    used: set[str] = set()
+    sel: list[tuple[str, str, int]] = []
+    for n, left, right in cands:
+        if n < min_freq:
+            break
+        merged = left + right
+        if left in used or right in used or merged in used:
+            continue
+        sel.append((left, right, int(n)))
+        used.update((left, right, merged))
+        if len(sel) >= batch:
+            break
+    return sel
+
+
+def _apply_merges(t: pa.Table, merges: list[tuple[str, str]]) -> pa.Table:
+    """Replace every (left, right) adjacency of each merge with the merged
+    symbol.  Merges within one batch are symbol-disjoint, so application
+    order does not matter; selection order is kept for determinism."""
+    pats = [
+        (SEP + l + SEP + r + SEP, SEP + l + r + SEP) for l, r in merges
+    ]
     syms = t["sym"].to_pylist()
     out = []
     for s in syms:
         s2 = SEP + s + SEP
-        # overlapping occurrences (e.g. a·a·a with merge (a,a)) need the
-        # double pass a single str.replace cannot see
-        while pat in s2:
-            s2 = s2.replace(pat, rep)
+        for pat, rep in pats:
+            # overlapping occurrences (e.g. a·a·a with merge (a,a)) need
+            # the double pass a single str.replace cannot see
+            while pat in s2:
+                s2 = s2.replace(pat, rep)
         out.append(s2[1:-1])
     return pa.table({"sym": pa.array(out, pa.string()), "freq": t["freq"]})
 
@@ -131,14 +188,45 @@ def word_frequency_table(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _round_candidates(words: rd.Dataset, topk: int) -> list[tuple[int, str, str]]:
+    """One distributed pass: pair partials → groupby sum → per-block
+    top-k → tiny driver-side reduce.  Returns the EXACT global top-k as
+    (n, left, right) tuples in (n desc, pair asc) order — no global sort
+    of the pair table (the former per-merge whole-dataset shuffle)."""
+    from functools import partial
+
+    pairs = (
+        words.map_batches(
+            _pair_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["left", "right"])
+        .sum("n")
+        .map_batches(
+            partial(_block_topk, k=topk), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    rows = pairs.take_all()  # ≤ blocks × topk small rows
+    cands = sorted(
+        ((int(r["sum(n)"]), r["left"], r["right"]) for r in rows),
+        key=lambda c: (-c[0], c[1], c[2]),
+    )
+    return cands[:topk]
+
+
 def bpe_train(
-    sf_dir: str, n_merges: int = 10, min_freq: int = 2
+    sf_dir: str, n_merges: int = 10, min_freq: int = 2, batch: int = 1,
+    topk: int | None = None,
 ) -> pa.Table:
     """Learn ``n_merges`` BPE merges; returns (rank, left, right, n).
 
-    Deterministic: winner per round = max count, ties broken by
-    (left, right) lexicographic order.  Stops early when no pair
-    reaches ``min_freq``."""
+    Deterministic: candidates are ordered by (count desc, then (left,
+    right) lexicographic), and each ROUND applies up to ``batch``
+    disjoint merges from the global top-``topk`` in one distributed
+    pass (``batch=1`` = the exact textbook sequential algorithm).
+    Stops early when no pair reaches ``min_freq``."""
+    if topk is None:
+        topk = max(64, 4 * batch)
     words = word_frequency_table(sf_dir).map_batches(
         _to_symbolic, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
@@ -149,28 +237,20 @@ def bpe_train(
     lefts: list[str] = []
     rights: list[str] = []
     ns: list[int] = []
-    for rank in range(n_merges):
-        pairs = (
-            words.map_batches(
-                _pair_partials, batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .groupby(["left", "right"])
-            .sum("n")
+    while len(ranks) < n_merges:
+        cands = _round_candidates(words, topk)
+        sel = _select_disjoint(
+            cands, min(batch, n_merges - len(ranks)), min_freq
         )
-        # top-1 with a total order: count desc, then (left, right) asc
-        top = pairs.sort(
-            ["sum(n)", "left", "right"], descending=[True, False, False]
-        ).limit(1).take_all()
-        if not top or top[0]["sum(n)"] < min_freq:
+        if not sel:
             break
-        left, right, n = top[0]["left"], top[0]["right"], top[0]["sum(n)"]
-        ranks.append(rank)
-        lefts.append(left)
-        rights.append(right)
-        ns.append(int(n))
+        for left, right, n in sel:
+            ranks.append(len(ranks))
+            lefts.append(left)
+            rights.append(right)
+            ns.append(n)
         words = words.map_batches(
-            partial(_apply_merge, left=left, right=right),
+            partial(_apply_merges, merges=[(l, r) for l, r, _ in sel]),
             batch_format="pyarrow", zero_copy_batch=True,
         ).materialize()
     return pa.table(
@@ -184,30 +264,42 @@ def bpe_train(
 
 
 def bpe_train_local(
-    texts: list[str], n_merges: int = 10, min_freq: int = 2
+    texts: list[str], n_merges: int = 10, min_freq: int = 2,
+    batch: int = 1, topk: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Single-process reference implementation for the parity test —
-    the textbook algorithm, no Ray."""
+    the textbook algorithm (``batch=1``) or the same batched-round rule
+    as ``bpe_train`` (greedy disjoint selection over the global
+    top-``topk``), no Ray."""
+    if topk is None:
+        topk = max(64, 4 * batch)
     freqs: dict[tuple[str, ...], int] = {}
     for txt in texts:
         for w in (txt or "").split():
+            w = w.replace(SEP, "")
+            if not w:
+                continue
             key = tuple(list(w) + [END])
             freqs[key] = freqs.get(key, 0) + 1
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         counts: dict[tuple[str, str], int] = {}
         for word, f in freqs.items():
             for a, b in zip(word[:-1], word[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + f
         if not counts:
             break
-        # emulate (count desc, pair asc): find max count then min pair
-        m = max(counts.values())
-        if m < min_freq:
+        cands = sorted(
+            ((n, a, b) for (a, b), n in counts.items()),
+            key=lambda c: (-c[0], c[1], c[2]),
+        )[:topk]
+        sel = _select_disjoint(
+            cands, min(batch, n_merges - len(merges)), min_freq
+        )
+        if not sel:
             break
-        pair = min(k for k, v in counts.items() if v == m)
-        merges.append((pair[0], pair[1], m))
-        merged = pair[0] + pair[1]
+        merges.extend(sel)
+        pair_set = {(l, r): l + r for l, r, _ in sel}
         new_freqs: dict[tuple[str, ...], int] = {}
         for word, f in freqs.items():
             out: list[str] = []
@@ -215,10 +307,9 @@ def bpe_train_local(
             while i < len(word):
                 if (
                     i + 1 < len(word)
-                    and word[i] == pair[0]
-                    and word[i + 1] == pair[1]
+                    and (word[i], word[i + 1]) in pair_set
                 ):
-                    out.append(merged)
+                    out.append(pair_set[(word[i], word[i + 1])])
                     i += 2
                 else:
                     out.append(word[i])

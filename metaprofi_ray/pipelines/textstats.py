@@ -161,58 +161,154 @@ def language_id(sf_dir: str) -> rd.Dataset:
     )
 
 
-def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
-    """Winnowing-style fingerprint: 64-bit rolling (polynomial) hash over
-    bytes, minimum hash per ``window``-gram stride, xor-folded to one
-    uint64 per document.  Deterministic; used for cheap near-identity
-    bucketing upstream of heavier dedup.
-
-    Vectorized ACROSS the batch: the Arrow string column's utf-8 data
-    buffer is read zero-copy, all docs' gram hashes compute in one
-    ``window``-step lane loop, and the strided minima / xor folds run as
-    two ``reduceat`` passes — byte-identical to the per-doc formulation
-    (short docs fall back to blake2b, unchanged)."""
+def _fp_batch(df: pd.DataFrame, window: int) -> np.ndarray:
+    """Vectorized winnowing kernel for one batch: the Arrow string
+    column's utf-8 data buffer is read zero-copy, all docs' gram hashes
+    compute in one ``window``-step lane loop, and the strided minima /
+    xor folds run as two ``reduceat`` passes — byte-identical to the
+    per-doc formulation (short docs fall back to blake2b)."""
     import pyarrow as pa
 
     from ..sketches.hashing import window_starts
 
+    n_docs = len(df)
+    fps = np.empty(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return fps
+    arr = pa.array(df["text"], type=pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n_docs + 1]
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    lens = np.diff(offs).astype(np.int64)
+    starts, row_of = window_starts(offs, window)
+    acc = np.zeros(starts.shape[0], dtype=np.uint64)
+    for j in range(window):
+        acc = acc * _FP_BASE + buf[starts + j].astype(np.uint64)
+    long_docs = np.flatnonzero(lens >= window)
+    if long_docs.size:
+        seg = np.searchsorted(row_of, np.arange(n_docs + 1))
+        n_wins = (seg[1:] - seg[:-1])[long_docs]
+        n_groups = (n_wins + window - 1) // window
+        cum = np.concatenate([[0], np.cumsum(n_groups)])
+        intra = np.arange(int(cum[-1])) - np.repeat(cum[:-1], n_groups)
+        grp_idx = np.repeat(seg[long_docs], n_groups) + intra * window
+        mins = np.minimum.reduceat(acc, grp_idx)
+        folds = np.bitwise_xor.reduceat(mins, cum[:-1])
+        fps[long_docs] = folds
+    for i in np.flatnonzero(lens < window):
+        fps[i] = U64(int.from_bytes(
+            hashlib.blake2b(
+                df["text"].iloc[i].encode(), digest_size=8
+            ).digest(), "little",
+        ))
+    return fps
+
+
+def doc_fingerprints(sf_dir: str, window: int = 16) -> rd.Dataset:
+    """Winnowing-style fingerprint: 64-bit rolling (polynomial) hash over
+    bytes, minimum hash per ``window``-gram stride, xor-folded to one
+    uint64 per document.  Deterministic; used for cheap near-identity
+    bucketing upstream of heavier dedup.  Oracle face:
+    ``fingerprint_check`` (the blake2b/rolling hashes themselves are not
+    SQL-expressible, so the check pins the algebraic invariants instead)."""
+
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        n_docs = len(df)
-        fps = np.empty(n_docs, dtype=np.uint64)
-        if n_docs == 0:
-            return pd.DataFrame({"doc_id": df["doc_id"].values,
-                                 "fingerprint": fps})
-        arr = pa.array(df["text"], type=pa.string())
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n_docs + 1]
-        buf = np.frombuffer(
-            arr.buffers()[2] or b"", dtype=np.uint8
-        )
-        lens = np.diff(offs).astype(np.int64)
-        starts, row_of = window_starts(offs, window)
-        acc = np.zeros(starts.shape[0], dtype=np.uint64)
-        for j in range(window):
-            acc = acc * _FP_BASE + buf[starts + j].astype(np.uint64)
-        long_docs = np.flatnonzero(lens >= window)
-        if long_docs.size:
-            seg = np.searchsorted(row_of, np.arange(n_docs + 1))
-            n_wins = (seg[1:] - seg[:-1])[long_docs]
-            n_groups = (n_wins + window - 1) // window
-            cum = np.concatenate([[0], np.cumsum(n_groups)])
-            intra = np.arange(int(cum[-1])) - np.repeat(cum[:-1], n_groups)
-            grp_idx = np.repeat(seg[long_docs], n_groups) + intra * window
-            mins = np.minimum.reduceat(acc, grp_idx)
-            folds = np.bitwise_xor.reduceat(mins, cum[:-1])
-            fps[long_docs] = folds
-        for i in np.flatnonzero(lens < window):
-            fps[i] = U64(int.from_bytes(
-                hashlib.blake2b(
-                    df["text"].iloc[i].encode(), digest_size=8
-                ).digest(), "little",
-            ))
         return pd.DataFrame({"doc_id": df["doc_id"].values,
-                             "fingerprint": fps.astype("uint64")})
+                             "fingerprint": _fp_batch(df, window)})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def _fp_naive(text: str, window: int) -> tuple[int, bool]:
+    """Independent scalar formulation of the winnowing fingerprint,
+    straight from the definition: per-gram polynomial hash, minimum per
+    stride group, xor fold.  Returns (fingerprint, invariants_ok) where
+    invariants_ok asserts the SUBSET property (every selected minimum is
+    a member of the doc's gram-hash set) and full stride COVERAGE (every
+    group of ``window`` consecutive gram positions contributes exactly
+    one selection).  Used only by ``fingerprint_check`` — per-row Python
+    is fine in a verification face; the production op is ``_fp_batch``."""
+    b = text.encode("utf-8")
+    if len(b) < window:
+        return int.from_bytes(
+            hashlib.blake2b(text.encode(), digest_size=8).digest(), "little"
+        ), True
+    mask = (1 << 64) - 1
+    base = int(_FP_BASE)
+    grams: list[int] = []
+    for s in range(len(b) - window + 1):
+        h = 0
+        for j in range(window):
+            h = (h * base + b[s + j]) & mask
+        grams.append(h)
+    gram_set = set(grams)
+    mins = [min(grams[g : g + window]) for g in range(0, len(grams), window)]
+    fp = 0
+    for m in mins:
+        fp ^= m
+    n_groups_expected = (len(grams) + window - 1) // window
+    ok = len(mins) == n_groups_expected and all(m in gram_set for m in mins)
+    return fp, ok
+
+
+def fingerprint_check(sf_dir: str, window: int = 16) -> pd.DataFrame:
+    """Oracle face of ``doc_fingerprints`` (winnowing invariants, the
+    ``*_check`` pattern of ``flagship.fpr_bound_check``): per doc,
+
+    - ``n_grams``: the gram count ``max(utf8_bytes - window + 1, 0)`` —
+      computed from the same byte buffers the fingerprint hashes and
+      INDEPENDENTLY by the SQL oracle (``GREATEST(strlen(text)-15, 0)``),
+      pinning the windowing arithmetic on real values, not just booleans;
+    - ``fp_valid``: the distributed vectorized fingerprint equals an
+      independent scalar recomputation AND the winnowing invariants hold
+      (every selected minimum ∈ the doc's gram-hash set; every stride
+      group of ``window`` gram positions contributes exactly one);
+    - ``fp_consistent``: docs with byte-identical text have identical
+      fingerprints (grouped on md5(text) — a key the oracle can also
+      derive — and compared within each group).
+
+    SQL asserts TRUE for the booleans; a FALSE here means the vectorized
+    kernel and the definition diverged."""
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        fps = _fp_batch(df, window)
+        n_grams = np.empty(len(df), dtype=np.int64)
+        valid = np.empty(len(df), dtype=bool)
+        keys = []
+        for i, t in enumerate(df["text"]):
+            t = str(t)
+            b = t.encode("utf-8")
+            n_grams[i] = max(len(b) - window + 1, 0)
+            naive, inv_ok = _fp_naive(t, window)
+            valid[i] = inv_ok and naive == int(fps[i])
+            keys.append(hashlib.md5(b).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "text_key": keys,
+                "n_grams": n_grams,
+                "fp_valid": valid,
+                "fingerprint": fps,
+            }
+        )
+
+    def per_text_group(g: pd.DataFrame) -> pd.DataFrame:
+        consistent = g["fingerprint"].nunique() == 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_grams": g["n_grams"],
+                "fp_valid": g["fp_valid"],
+                "fp_consistent": consistent,
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(per_batch, batch_format="pandas")
+        .groupby("text_key")
+        .map_groups(per_text_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def documents_sample(sf_dir: str, pct: int = 10) -> rd.Dataset:

@@ -72,6 +72,31 @@ def synth_tables() -> str:
                 )
             )
         pq.write_table(pa.concat_tables(parts), dpath)
+    empath = os.path.join(TIER_DIR, "embeddings.parquet")
+    if not os.path.exists(empath):
+        base = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        n = base.num_rows
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in
+             base["embedding"].to_pylist()]
+        )
+        parts = []
+        for r in range(REPL):
+            rolled = np.roll(emb, r, axis=1)  # norm-preserving, deterministic
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            np.arange(n, dtype=np.int64) + r * n
+                        ),
+                        "embedding": pa.array(
+                            list(rolled), pa.list_(pa.float32())
+                        ),
+                        "label": base["label"],
+                    }
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), empath)
     epath = os.path.join(TIER_DIR, "events.parquet")
     if not os.path.exists(epath):
         base = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
@@ -131,6 +156,21 @@ def main() -> None:
     timed("events_sessionize", relational.events_sessionize)
     timed("token_counts_bpe", textstats.token_counts_bpe)
     timed("quality_scores", textstats.quality_scores)
+    timed("contamination_check", textstats.contamination_check)
+
+    from metaprofi_ray.pipelines import ann, ann_ivf
+
+    timed("ann_lsh_topk", lambda d: ann.lsh_topk(d, query_vec_id=3))
+    timed("ann_ivf_topk_batch", lambda d: ann_ivf.ivf_topk_batch(d))
+
+    # production-vocab BPE: 1000 merges in batched disjoint rounds (one
+    # distributed pass per ROUND, not per merge) over the 10x word table
+    from metaprofi_ray.pipelines import bpe
+
+    t0 = time.perf_counter()
+    merges = bpe.bpe_train(tier, n_merges=1000, batch=256, min_freq=2)
+    out["bpe_1000_merges_sec"] = round(time.perf_counter() - t0, 3)
+    out["bpe_1000_merges_learned"] = merges.num_rows
 
     # ---- query paths against the 12M-doc (10×) index -------------------
     from metaprofi_ray.config import SketchConfig
@@ -169,6 +209,18 @@ def main() -> None:
                 ),
             }
         )
+
+    # warm 2k broadcast query: first call loads the index (cold), second
+    # measures the warm path the QueryService regime runs in
+    import ray.data as rd
+
+    q2k = qset(2_000)
+    t0 = time.perf_counter()
+    query_pipe.query_index(INDEX_DIR, rd.from_arrow(q2k), theta=75).count()
+    out["bloom_query_2k_cold_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    query_pipe.query_index(INDEX_DIR, rd.from_arrow(q2k), theta=75).count()
+    out["bloom_query_2k_warm_sec"] = round(time.perf_counter() - t0, 3)
 
     q10k = qset(10_000)
     t0 = time.perf_counter()

@@ -143,6 +143,39 @@ class TestTextStats:
         assert a.fingerprint.tolist() == b.fingerprint.tolist()
         assert a.fingerprint.nunique() > len(a) * 0.9
 
+    def test_fingerprint_check_invariants(self, ray_session, tmp_path):
+        """The oracle face: vectorized == naive, subset + coverage hold,
+        and byte-identical texts (here: a forced duplicate pair) get
+        identical fingerprints."""
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.textstats import fingerprint_check
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "short",  # < window: blake2b path
+            "the quick brown fox jumps over the lazy dog " * 3,  # exact dup
+            "unicode ünïcödé text with multibyte łatin " * 2,
+        ]
+        d = str(tmp_path / "fpchk")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(["s"] * len(texts), pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = fingerprint_check(d)
+        assert out["fp_valid"].all() and out["fp_consistent"].all()
+        # n_grams counts BYTES (multibyte text has more bytes than chars)
+        uni = out[out.doc_id == 3].iloc[0]
+        assert uni.n_grams == len(texts[3].encode()) - 16 + 1
+        assert (out[out.doc_id == 1].iloc[0]).n_grams == 0
+
 
 class TestMultimodal:
     def test_decode_stub_strict_raises(self):
@@ -315,3 +348,68 @@ class TestBpeTrain:
         # counts must be non-increasing with rank (greedy order)
         ns = merges["n"].to_pylist()
         assert ns == sorted(ns, reverse=True)
+
+    def test_batched_rounds_match_local_reference(
+        self, ray_session, tmp_path
+    ):
+        """Batched mode (disjoint merges per distributed round) must match
+        the local reference under the same batching rule, and the
+        sequential prefix rule stays pinned by the batch=1 test above."""
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.bpe import bpe_train, bpe_train_local
+
+        rng = __import__("random").Random(7)
+        vocab = ["low", "lower", "newest", "wide", "aaaa", "abab",
+                 "banana", "bandana", "west", "nest"]
+        texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(3, 12)))
+            for _ in range(60)
+        ]
+        d = str(tmp_path / "bpe_batched")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(["s"] * len(texts), pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = bpe_train(d, n_merges=24, batch=6).to_pylist()
+        want = bpe_train_local(texts, n_merges=24, batch=6)
+        assert [(r["left"], r["right"], r["n"]) for r in got] == want
+        # batching must not change WHICH merges are learned drastically:
+        # the first sequential merge is always selected first
+        seq = bpe_train_local(texts, n_merges=1)
+        assert (got[0]["left"], got[0]["right"]) == (seq[0][0], seq[0][1])
+
+    def test_sep_byte_in_text_is_stripped(self, ray_session, tmp_path):
+        """U+0001 is not whitespace, so it can occur inside a word; the
+        word table must strip it instead of corrupting the encoding."""
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.bpe import bpe_train, bpe_train_local
+
+        texts = ["ab\x01ab abab abab", "\x01\x01 abab ab\x01ab"]
+        d = str(tmp_path / "bpe_sep")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(["s", "s"], pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = bpe_train(d, n_merges=4, min_freq=1).to_pylist()
+        want = bpe_train_local(texts, n_merges=4, min_freq=1)
+        assert [(r["left"], r["right"], r["n"]) for r in got] == want
+        # the stripped form means "ab\x01ab" counted as "abab" (4 docs' worth)
+        clean = bpe_train_local(["abab abab abab", "abab abab"], n_merges=4,
+                                min_freq=1)
+        assert want == clean
