@@ -132,6 +132,44 @@ def oracle_sql() -> dict[str, str]:
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     )
     stopwords = "'the','and','of','a','to','in','is','it','for','on'"
+    # media cohort + per-kind dimension / container-size rules (mirrors
+    # pipelines/multimodal.py: BMP = 54-byte header + 4-byte-padded BGR
+    # rows; WAV = 44-byte header + 2 bytes/sample; Y4M = text header +
+    # per-frame "FRAME\n" + Y plane + two half-res chroma planes)
+    media_dims = """
+        WITH sel AS (
+            SELECT doc_id AS d,
+                   (row_number() OVER (ORDER BY doc_id) - 1) % 3 AS kcode
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+        ), dims AS (
+            SELECT d,
+                   CASE kcode WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CASE kcode WHEN 0 THEN 16 + d % 48
+                        WHEN 1 THEN 256 + d % 512
+                        ELSE 16 + (d % 24) * 2 END AS w,
+                   CASE kcode WHEN 0 THEN 16 + (7 * d) % 48
+                        WHEN 1 THEN 1
+                        ELSE 16 + ((7 * d) % 24) * 2 END AS h,
+                   CASE kcode WHEN 2 THEN 1 + d % 8 ELSE 1 END AS fr
+            FROM sel
+        ), sized AS (
+            SELECT *,
+                   CASE kind
+                     WHEN 'image' THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                     WHEN 'audio' THEN 44 + 2 * w
+                     ELSE length('YUV4MPEG2 W' || w || ' H' || h ||
+                                 ' F25:1 Ip A1:1 C420') + 1
+                          + fr * (6 + w * h + 2 * ((w // 2) * (h // 2)))
+                   END AS n_bytes,
+                   CASE kind
+                     WHEN 'image' THEN w * h
+                     WHEN 'audio' THEN w
+                     ELSE w * h * fr
+                   END AS cnt
+            FROM dims
+        )
+    """
     # language-ID marker score: non-overlapping substring counts over the
     # whitespace-normalized, space-padded lowercase text (mirrors LangId)
     lang_markers = {
@@ -687,19 +725,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
             ORDER BY doc_a, doc_b
         """,
-        "media_bytes_per_kind": """
-            WITH ordered AS (
-                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
-            ), m AS (
-                SELECT octet_length(encode(text)) AS nb,
-                       (row_number() OVER (ORDER BY doc_id) - 1) % 3 AS kcode
-                FROM ordered
+        # The media cohort: kind round-robins over the first 200 docs by
+        # doc_id; dimensions / frame counts / container byte sizes follow
+        # the generation rules in pipelines/multimodal.py — the Ray side
+        # gets them by PARSING the real BMP/WAV/Y4M payload bytes, so these
+        # oracles verify the decoders, not just the writer.
+        "media_bytes_per_kind": f"""
+            {media_dims}
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+            FROM sized GROUP BY kind ORDER BY kind
+        """,
+        "media_stats": f"""
+            {media_dims}
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(FLOOR(w * LEAST(1.0, 32.0 / GREATEST(w, h)))), 4)
+                       AS avg_out_width,
+                   CAST(MAX(fr) AS BIGINT) AS max_frames
+            FROM sized GROUP BY kind ORDER BY kind
+        """,
+        # features = [ln(1+bytes), mean/scale, rms/scale, frames]; content
+        # mean / mean-square replayed per media via generate_series over the
+        # deterministic pixel/sample rules (sums are exact-representable
+        # integers, so both sides divide the identical float64)
+        "media_feature_norms": f"""
+            {media_dims}
+            , vals AS (
+                SELECT s.d, s.kind, s.n_bytes, s.fr,
+                       CASE s.kind WHEN 'audio' THEN 2048.0 ELSE 255.0 END
+                           AS scale,
+                       CASE s.kind
+                         WHEN 'audio' THEN ((31 * s.d + 17 * g.j) % 4096) - 2048
+                         WHEN 'image' THEN
+                           ((g.j % s.w) * 3 + (g.j // s.w) * 5 + s.d) % 256
+                         ELSE (((g.j % (s.w * s.h)) % s.w) * 3
+                               + ((g.j % (s.w * s.h)) // s.w) * 5
+                               + (g.j // (s.w * s.h)) * 11 + s.d) % 256
+                       END AS v
+                FROM sized s, UNNEST(range(0, CAST(s.cnt AS BIGINT))) AS g(j)
+            ), per_media AS (
+                SELECT d, kind, n_bytes, fr, scale,
+                       AVG(CAST(v AS DOUBLE)) AS mean_v,
+                       AVG(CAST(v AS DOUBLE) * v) AS ms_v
+                FROM vals GROUP BY d, kind, n_bytes, fr, scale
+            ), norms AS (
+                SELECT kind,
+                       sqrt(ln(1 + n_bytes) * ln(1 + n_bytes)
+                            + (mean_v / scale) * (mean_v / scale)
+                            + (sqrt(ms_v) / scale) * (sqrt(ms_v) / scale)
+                            + CAST(fr AS DOUBLE) * fr) AS nrm
+                FROM per_media
             )
-            SELECT CASE kcode WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                   ELSE 'video' END AS kind,
-                   CAST(COUNT(*) AS BIGINT) AS n_media,
-                   CAST(SUM(nb) AS BIGINT) AS total_bytes
-            FROM m GROUP BY kcode
+            SELECT kind, ROUND(AVG(nrm), 6) AS mean_feature_norm
+            FROM norms GROUP BY kind ORDER BY kind
         """,
         "knn_label_stats": """
             WITH expl AS (

@@ -160,6 +160,91 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def sparse_mode(n_sources: int = 1000, n_queries: int = 50_000) -> None:
+    """Adversarial sparse-shard run (VERDICT r4 #2 "Done" criterion): one
+    8-token doc per source → ONE window → ≤2 of 8 shards covered per
+    source, while every 16-token query's constraints span ~all shards, so
+    the lane reduce's missing-shard correction flags ~every (source,
+    query) cell (~S×Q).  Before the vectorization this degraded to
+    row-at-a-time Python unpackbits; now it is one gather + dedupe +
+    bit-test + bincount per source segment.  Prints the sparse wall next
+    to the same-Q dense-index wall for the flat-vs-fast-path comparison."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from metaprofi_ray.pipelines import query as query_pipe
+    from metaprofi_ray.pipelines.build import build_index
+
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    sparse_idx = "/tmp/metaprofi_probe_sparse_idx"
+    if not os.path.exists(os.path.join(sparse_idx, "manifest.json")):
+        shutil.rmtree(sparse_idx, ignore_errors=True)
+        rng = np.random.default_rng(5)
+        docs = pa.table(
+            {
+                "doc_id": [f"d{i}" for i in range(n_sources)],
+                "tokens": pa.array(
+                    list(rng.integers(0, 1 << 20, size=(n_sources, 8),
+                                      dtype=np.int32)),
+                    type=pa.list_(pa.int32()),
+                ),
+                "n_tok": pa.array([8] * n_sources, pa.int32()),
+                "source": [f"s{i}" for i in range(n_sources)],
+            }
+        )
+        build_index(rd.from_arrow(docs), _cfg(), sparse_idx)
+    _ensure_index()
+    qt = _queries(n_queries)
+    out: dict = {"metric": "sparse_shard_lane_reduce", "unit": "sec",
+                 "n_sources": n_sources, "n_queries": n_queries}
+    t0 = time.perf_counter()
+    n = query_pipe.query_index_streaming_distributed(
+        sparse_idx, qt, theta=75, lane_mode=True
+    ).count()
+    out["sparse_sec"] = round(time.perf_counter() - t0, 3)
+    out["sparse_hits"] = int(n)
+    t0 = time.perf_counter()
+    n = query_pipe.query_index_streaming_distributed(
+        INDEX_DIR, qt, theta=75, lane_mode=True
+    ).count()
+    out["dense_sec"] = round(time.perf_counter() - t0, 3)
+    out["dense_hits"] = int(n)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def e2e_scaling(levels=(8, 32), n_queries: int = 1_000_000) -> None:
+    """Full 1M-query distributed search at two parallelism levels in fresh
+    processes (VERDICT r4 #7): the query-side counterpart of bench.py
+    --scaling's build criterion.  The index is built once up front; each
+    child pays the full e2e cost (probeset prep + probe + reduce)."""
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    import ray
+
+    _ensure_index()
+    ray.shutdown()
+    out: dict = {"metric": "dist_query_e2e_scaling", "unit": "ratio",
+                 "n_queries": n_queries, "levels": list(levels)}
+    for ncpu in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--e2e",
+             str(n_queries)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        out[f"e2e_sec_{ncpu}cpu"] = r["e2e_sec"]
+        out[f"hits_{ncpu}cpu"] = r["hits"]
+    lo, hi = levels
+    eff = (out[f"e2e_sec_{lo}cpu"] / out[f"e2e_sec_{hi}cpu"]) / (hi / lo)
+    out["value"] = round(eff, 3)
+    print(json.dumps(out))
+
+
 def e2e_only(n_queries: int) -> None:
     """One end-to-end distributed search at an arbitrary query count
     (the 4M-tier record in BENCH/BASELINE.md was produced with this)."""
@@ -186,8 +271,12 @@ if __name__ == "__main__":
         ncpu = int(sys.argv[i + 1])
         nq = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1_000_000
         prep_only(ncpu, nq)
+    elif "--e2e-scaling" in sys.argv:
+        e2e_scaling()
     elif "--e2e" in sys.argv:
         i = sys.argv.index("--e2e")
         e2e_only(int(sys.argv[i + 1]))
+    elif "--sparse" in sys.argv:
+        sparse_mode()
     else:
         main()

@@ -178,12 +178,64 @@ class TestTextStats:
 
 
 class TestMultimodal:
-    def test_decode_stub_strict_raises(self):
-        from metaprofi_ray.pipelines.multimodal import DecodeStub, synthesize_media
+    def test_codec_roundtrips(self):
+        import numpy as np
 
-        media = synthesize_media(os.path.join(SF, "documents.parquet"), n=8)
+        from metaprofi_ray.functions import media_codecs as mc
+
+        rng = np.random.default_rng(3)
+        gray = rng.integers(0, 256, size=(23, 37), dtype=np.uint8)
+        px = mc.decode_bmp(mc.encode_bmp(gray))
+        assert px.shape == (23, 37, 3)
+        assert (px == gray[:, :, None]).all()
+        s = rng.integers(-2048, 2048, size=777).astype(np.int16)
+        rate, got = mc.decode_wav(mc.encode_wav(s, rate=8000))
+        assert rate == 8000 and (got == s).all()
+        y = rng.integers(0, 256, size=(5, 18, 24), dtype=np.uint8)
+        assert (mc.decode_y4m(mc.encode_y4m(y)) == y).all()
+
+    def test_decode_unsupported_container_raises(self):
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.multimodal import MEDIA_SCHEMA, Decode
+
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # JPEG magic: no codec here
+        batch = pa.table(
+            {
+                "media_id": ["x"],
+                "kind": ["image"],
+                "payload": pa.array([jpeg], pa.large_binary()),
+                "n_bytes": pa.array([len(jpeg)], pa.int64()),
+                "width": pa.array([-1], pa.int32()),
+                "height": pa.array([-1], pa.int32()),
+                "n_frames": pa.array([-1], pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
         with pytest.raises(NotImplementedError):
-            DecodeStub(strict=True)(media)
+            Decode()(batch)
+
+    def test_decode_parses_real_headers(self):
+        """Dimensions must come from the payload BYTES: corrupt a BMP's
+        width field and the decode must change with it (no silent
+        agreement with the synthesizer)."""
+        from metaprofi_ray.pipelines.multimodal import Decode, synthesize_media
+
+        media = synthesize_media(os.path.join(SF, "documents.parquet"), n=9)
+        out = Decode()(media).to_pandas().set_index("media_id")
+        kinds = media["kind"].to_pylist()
+        ids = [int(m[1:]) for m in media["media_id"].to_pylist()]
+        for mid, kind, d in zip(media["media_id"].to_pylist(), kinds, ids):
+            r = out.loc[mid]
+            if kind == "image":
+                assert (r.width, r.height, r.n_frames) == (
+                    16 + d % 48, 16 + (7 * d) % 48, 1)
+            elif kind == "audio":
+                assert (r.width, r.height, r.n_frames) == (
+                    256 + d % 512, 1, 1)
+            else:
+                assert (r.width, r.height, r.n_frames) == (
+                    16 + (d % 24) * 2, 16 + ((7 * d) % 24) * 2, 1 + d % 8)
 
     def test_pipeline_schema_and_determinism(self, ray_session):
         from metaprofi_ray.pipelines.multimodal import media_pipeline
@@ -281,18 +333,13 @@ class TestTokenTopk:
 
 
 class TestFeatureExtract:
-    def test_strict_raises(self):
-        import pyarrow as pa
+    def test_learned_model_boundary_raises(self):
         import pytest
 
-        from metaprofi_ray.pipelines.multimodal import (
-            FeatureExtract,
-            synthesize_media,
-        )
+        from metaprofi_ray.pipelines.multimodal import FeatureExtract
 
-        media = synthesize_media(os.path.join(SF, "documents.parquet"), n=8)
         with pytest.raises(NotImplementedError):
-            FeatureExtract(strict=True)(media)
+            FeatureExtract(model="learned")
 
     def test_deterministic_features(self, ray_session):
         from metaprofi_ray.pipelines.multimodal import media_feature_norms
