@@ -156,22 +156,28 @@ def _select_disjoint(
 
 
 def _apply_merges(t: pa.Table, merges: list[tuple[str, str]]) -> pa.Table:
-    """Replace every (left, right) adjacency of each merge with the merged
-    symbol.  Merges within one batch are symbol-disjoint, so application
-    order does not matter; selection order is kept for determinism."""
-    pats = [
-        (SEP + l + SEP + r + SEP, SEP + l + r + SEP) for l, r in merges
-    ]
+    """Apply the batch's merges with the textbook LEFT-TO-RIGHT greedy
+    scan (the exact formulation ``bpe_train_local`` uses): one pass per
+    word checking each adjacency against the batch's pair map.  Merges
+    within one batch are symbol-disjoint, so application order cannot
+    matter — but repeat-symbol runs can: a ``str.replace``-style pass
+    groups ``a×5`` as (aa, a, aa) where the scan's (aa, aa, a) is the
+    textbook answer, so this must be a scan, not a replace."""
+    pair_map = {(l, r): l + r for l, r in merges}
     syms = t["sym"].to_pylist()
     out = []
     for s in syms:
-        s2 = SEP + s + SEP
-        for pat, rep in pats:
-            # overlapping occurrences (e.g. a·a·a with merge (a,a)) need
-            # the double pass a single str.replace cannot see
-            while pat in s2:
-                s2 = s2.replace(pat, rep)
-        out.append(s2[1:-1])
+        parts = s.split(SEP)
+        res: list[str] = []
+        i, n = 0, len(parts)
+        while i < n:
+            if i + 1 < n and (parts[i], parts[i + 1]) in pair_map:
+                res.append(pair_map[(parts[i], parts[i + 1])])
+                i += 2
+            else:
+                res.append(parts[i])
+                i += 1
+        out.append(SEP.join(res))
     return pa.table({"sym": pa.array(out, pa.string()), "freq": t["freq"]})
 
 

@@ -367,6 +367,10 @@ class TestBpeTrain:
             "new newer newest new new",
             "wide wider widest low new",
             "aaaa aa aaa a",  # overlapping-merge stress (a,a) chains
+            # odd run >= 5: left-to-right scan groups (aa, aa, a) where a
+            # replace-style apply would produce (aa, a, aa) — pins the
+            # textbook scan semantics
+            "aaaaa aaaaaaa aaaaa",
         ] * 3
         d = str(tmp_path / "bpe")
         os.makedirs(d)
