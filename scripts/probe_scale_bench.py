@@ -216,45 +216,83 @@ def sparse_mode(n_sources: int = 1000, n_queries: int = 50_000) -> None:
     ray.shutdown()
 
 
+def _queries_parquet(n: int) -> str:
+    """The same deterministic query panel as ``_queries`` persisted as a
+    multi-file parquet dataset — the production-shaped query source (a
+    1M-row driver-side pa.Table is the documented anti-pattern; real
+    callers read query panels from storage, which streams and
+    parallelizes the prep pass)."""
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/metaprofi_query_panel_{n}"
+    if not os.path.isdir(out):
+        os.makedirs(out + ".tmp", exist_ok=True)
+        qt = _queries(n)
+        step = max(n // 32, 1)
+        for i in range(0, n, step):
+            pq.write_table(
+                qt.slice(i, step),
+                os.path.join(out + ".tmp", f"part-{i:09d}.parquet"),
+            )
+        os.rename(out + ".tmp", out)
+    return out
+
+
 def e2e_scaling(levels=(8, 32), n_queries: int = 1_000_000) -> None:
     """Full 1M-query distributed search at two parallelism levels in fresh
     processes (VERDICT r4 #7): the query-side counterpart of bench.py
     --scaling's build criterion.  The index is built once up front; each
-    child pays the full e2e cost (probeset prep + probe + reduce)."""
+    child pays the full e2e cost (probeset prep + probe + reduce).  Both
+    query-source shapes are measured: the driver-side TABLE (includes the
+    serial ingestion overhead the API docs call out) and the parquet
+    Dataset (the production shape — prep streams from storage)."""
     _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     import ray
 
     _ensure_index()
     ray.shutdown()
+    _queries_parquet(n_queries)
     out: dict = {"metric": "dist_query_e2e_scaling", "unit": "ratio",
                  "n_queries": n_queries, "levels": list(levels)}
-    for ncpu in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--e2e",
-             str(n_queries)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        r = json.loads(p.stdout.strip().splitlines()[-1])
-        out[f"e2e_sec_{ncpu}cpu"] = r["e2e_sec"]
-        out[f"hits_{ncpu}cpu"] = r["hits"]
-    lo, hi = levels
-    eff = (out[f"e2e_sec_{lo}cpu"] / out[f"e2e_sec_{hi}cpu"]) / (hi / lo)
-    out["value"] = round(eff, 3)
+    for mode, flag in (("table", []), ("pq", ["--pq"])):
+        for ncpu in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--e2e",
+                 str(n_queries)] + flag,
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+            )
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            out[f"e2e_{mode}_sec_{ncpu}cpu"] = r["e2e_sec"]
+            out[f"hits_{mode}_{ncpu}cpu"] = r["hits"]
+        lo, hi = levels
+        eff = (
+            out[f"e2e_{mode}_sec_{lo}cpu"] / out[f"e2e_{mode}_sec_{hi}cpu"]
+        ) / (hi / lo)
+        out[f"efficiency_{mode}"] = round(eff, 3)
+    out["value"] = out["efficiency_pq"]
     print(json.dumps(out))
 
 
-def e2e_only(n_queries: int) -> None:
+def e2e_only(n_queries: int, from_parquet: bool = False) -> None:
     """One end-to-end distributed search at an arbitrary query count
-    (the 4M-tier record in BENCH/BASELINE.md was produced with this)."""
+    (the 4M-tier record in BENCH/BASELINE.md was produced with this).
+    ``from_parquet`` feeds the query panel as a streamed parquet Dataset
+    instead of a driver-side table."""
     _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     import ray
+    import ray.data as rd
 
     from metaprofi_ray.pipelines import query as query_pipe
 
     _ensure_index()
-    qt = _queries(n_queries)
+    if from_parquet:
+        qt = rd.read_parquet(_queries_parquet(n_queries))
+    else:
+        qt = _queries(n_queries)
     t0 = time.perf_counter()
     n = query_pipe.query_index_streaming_distributed(
         INDEX_DIR, qt, theta=75
@@ -275,7 +313,7 @@ if __name__ == "__main__":
         e2e_scaling()
     elif "--e2e" in sys.argv:
         i = sys.argv.index("--e2e")
-        e2e_only(int(sys.argv[i + 1]))
+        e2e_only(int(sys.argv[i + 1]), from_parquet="--pq" in sys.argv)
     elif "--sparse" in sys.argv:
         sparse_mode()
     else:
