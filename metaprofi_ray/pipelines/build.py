@@ -154,6 +154,7 @@ def write_banks(
 def build_index(
     ds: rd.Dataset, cfg: SketchConfig, index_dir: str, salt_buckets: int = 0,
     src_buckets: int = bank_io.N_SRC_BUCKETS,
+    shard_buckets: int | None = None,
 ) -> str:
     """End-to-end build; returns index_dir.
 
@@ -172,8 +173,12 @@ def build_index(
         import shutil
 
         shutil.rmtree(banks_dir)
+    if shard_buckets is None:
+        # the distributed query path's parallelism unit; more buckets than
+        # shards would leave empty dirs, so clamp
+        shard_buckets = min(bank_io.N_SHARD_BUCKETS, cfg.shards)
     merged = merge_banks(partial_banks(ds, cfg), cfg, salt_buckets=salt_buckets)
-    write_banks(merged, banks_dir, src_buckets)
+    write_banks(merged, banks_dir, src_buckets, shard_buckets)
     # sources before manifest: the manifest is the validity marker loaders
     # key on, so it lands last (a crash in between leaves a visibly
     # incomplete index, never a valid-looking one missing its summary)
@@ -182,7 +187,7 @@ def build_index(
         index_dir, cfg,
         extra=(
             {"src_buckets": src_buckets,
-             "shard_buckets": bank_io.N_SHARD_BUCKETS}
+             "shard_buckets": shard_buckets}
             if src_buckets > 0 else None
         ),
     )

@@ -255,6 +255,11 @@ def query_index_streaming_distributed(
     pool_max = concurrency[1] if isinstance(concurrency, tuple) else concurrency
 
     if isinstance(queries, pa.Table):
+        # one block + repartition, NOT driver-side table.slice() blocks:
+        # pickling a sliced Arrow table ships the WHOLE backing buffers
+        # per slice (measured 64x inflation at 1M queries), while Ray's
+        # block split compacts.  Parquet-fed callers skip this entirely
+        # (scripts/probe_scale_bench.py --e2e --pq).
         qds = rd.from_arrow(queries)
     else:
         qds = queries

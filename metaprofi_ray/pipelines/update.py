@@ -60,16 +60,22 @@ def update_index(
     new_partials = partial_banks(new_ds, old_cfg)
     merged = merge_banks(old_banks.union(new_partials), old_cfg)
     src_buckets = int(old_doc.get("src_buckets") or bank_io.N_SRC_BUCKETS)
+    # carry the OLD index's bucket counts: the layout knobs are per-index
+    # (manifest-recorded), not process-global
+    shard_buckets = int(
+        old_doc.get("shard_buckets") or bank_io.N_SHARD_BUCKETS
+    )
     from .build import write_banks
 
-    write_banks(merged, os.path.join(out_dir, bank_io.BANKS), src_buckets)
+    write_banks(merged, os.path.join(out_dir, bank_io.BANKS), src_buckets,
+                shard_buckets)
     # sources before manifest (the validity marker lands last)
     bank_io.write_sources_summary(out_dir, old_cfg)
     bank_io.write_manifest(
         out_dir, old_cfg,
         extra={"updated_from": os.path.abspath(index_dir),
                "src_buckets": src_buckets,
-               "shard_buckets": bank_io.N_SHARD_BUCKETS},
+               "shard_buckets": shard_buckets},
     )
     return out_dir
 

@@ -53,7 +53,14 @@ N_SRC_BUCKETS = 16
 # each per-bucket prober sub-pipeline reads ONLY its bucket's bank files —
 # no read amplification, no bank shuffle.  Stats rows (shard_id = -1) land
 # in ``shardbucket=-1``.
-N_SHARD_BUCKETS = 8
+#
+# This is ALSO the distributed query path's parallelism unit: probe plans
+# build one task per bucket, so on a large cluster the bucket count should
+# be sized to the cluster (a deployment knob, like shards).  The value is
+# baked into each index's manifest at build time (readers use the
+# manifest, never this constant), so the override only affects NEW builds
+# and must be ≤ cfg.shards to be effective.
+N_SHARD_BUCKETS = int(os.environ.get("METAPROFI_SHARD_BUCKETS", "8"))
 
 
 def hash64_str(s: str) -> int:

@@ -145,8 +145,10 @@ def build_with_checkpoints(
     # published index gets the hive srcbucket layout
     from ..pipelines.build import write_banks
 
+    shard_buckets = min(bank_io.N_SHARD_BUCKETS, cfg.shards)
     write_banks(
-        merge_banks(part_banks, cfg), banks_tmp, bank_io.N_SRC_BUCKETS
+        merge_banks(part_banks, cfg), banks_tmp, bank_io.N_SRC_BUCKETS,
+        shard_buckets,
     )
     # atomic-ish publish: invalidate FIRST (the manifest is the validity
     # marker BankIndex.load keys on), swap banks in one rename, then write
@@ -164,6 +166,6 @@ def build_with_checkpoints(
         extra={"checkpointed": True, "n_partitions": len(parts),
                "resumed_partitions": report["resumed"],
                "src_buckets": bank_io.N_SRC_BUCKETS,
-               "shard_buckets": bank_io.N_SHARD_BUCKETS},
+               "shard_buckets": shard_buckets},
     )
     return report
