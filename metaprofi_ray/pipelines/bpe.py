@@ -117,16 +117,17 @@ def _pair_partials(t: pa.Table) -> pa.Table:
 
 
 def _block_topk(t: pa.Table, k: int) -> pa.Table:
-    """Keep a block's top-k rows under (n desc, left asc, right asc).
-    Post-groupby each (left, right) row carries its FINAL global count,
-    so the union of block top-ks ⊇ the exact global top-k."""
+    """Keep a block's top-k rows under (count desc, left asc, right asc).
+    Post-groupby each (left, right) row carries its FINAL global count
+    (column ``sum(n)``), so the union of block top-ks ⊇ the exact global
+    top-k."""
     if t.num_rows <= k:
         return t
     import pyarrow.compute as pc
 
     idx = pc.sort_indices(
         t,
-        sort_keys=[("n", "descending"), ("left", "ascending"),
+        sort_keys=[("sum(n)", "descending"), ("left", "ascending"),
                    ("right", "ascending")],
     )
     return t.take(idx.slice(0, k))

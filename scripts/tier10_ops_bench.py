@@ -123,6 +123,46 @@ def synth_tables() -> str:
     return TIER_DIR
 
 
+def _bpe_corpus(
+    n_vocab: int = 50_000, n_docs: int = 100_000, words_per_doc: int = 100
+) -> str:
+    """Deterministic word-diverse corpus for the vocab-training row: 50k
+    distinct pseudo-words (3–12 letters), quadratically skewed (Zipf-ish)
+    draws, ~10M running words over 100k docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = "/tmp/metaprofi_bpe_corpus"
+    path = os.path.join(out, "documents.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(23)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.integers(3, 13, size=n_vocab)
+    flat = rng.integers(0, 26, size=int(lens.sum()))
+    vocab, pos = [], 0
+    for L in lens:
+        vocab.append("".join(letters[flat[pos : pos + L]]))
+        pos += L
+    vocab = np.array(vocab)
+    u = rng.random(size=(n_docs, words_per_doc))
+    idx = (u * u * n_vocab).astype(np.int64)  # quadratic skew toward 0
+    texts = [" ".join(row) for row in vocab[idx]]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["bpe"] * n_docs, pa.string()),
+            }
+        ),
+        path,
+    )
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -164,11 +204,16 @@ def main() -> None:
     timed("ann_ivf_topk_batch", lambda d: ann_ivf.ivf_topk_batch(d))
 
     # production-vocab BPE: 1000 merges in batched disjoint rounds (one
-    # distributed pass per ROUND, not per merge) over the 10x word table
+    # distributed pass per ROUND, not per merge).  The driver documents
+    # table has a CLOSED 31-word vocabulary (all learnable merges exhaust
+    # at 113), so this row runs over a word-diverse Zipf corpus — 50k
+    # distinct pseudo-words, ~10M running words — the shape a vocab
+    # trainer actually faces
     from metaprofi_ray.pipelines import bpe
 
+    bpe_dir = _bpe_corpus()
     t0 = time.perf_counter()
-    merges = bpe.bpe_train(tier, n_merges=1000, batch=256, min_freq=2)
+    merges = bpe.bpe_train(bpe_dir, n_merges=1000, batch=256, min_freq=2)
     out["bpe_1000_merges_sec"] = round(time.perf_counter() - t0, 3)
     out["bpe_1000_merges_learned"] = merges.num_rows
 

@@ -437,6 +437,30 @@ class TestBpeTrain:
         seq = bpe_train_local(texts, n_merges=1)
         assert (got[0]["left"], got[0]["right"]) == (seq[0][0], seq[0][1])
 
+    def test_block_topk_truncates_under_total_order(self):
+        """_block_topk must sort by the post-groupby column name
+        (sum(n)) — blocks under k rows return early, which hid a wrong
+        sort key until a corpus produced >k pairs per block."""
+        import pyarrow as pa
+
+        from metaprofi_ray.pipelines.bpe import _block_topk
+
+        t = pa.table(
+            {
+                "left": [f"l{i % 7}" for i in range(100)],
+                "right": [f"r{i}" for i in range(100)],
+                "sum(n)": pa.array(
+                    [(i * 37) % 50 for i in range(100)], pa.int64()
+                ),
+            }
+        )
+        got = _block_topk(t, 10).to_pylist()
+        want = sorted(
+            t.to_pylist(),
+            key=lambda r: (-r["sum(n)"], r["left"], r["right"]),
+        )[:10]
+        assert got == want
+
     def test_sep_byte_in_text_is_stripped(self, ray_session, tmp_path):
         """U+0001 is not whitespace, so it can occur inside a word; the
         word table must strip it instead of corrupting the encoding."""
