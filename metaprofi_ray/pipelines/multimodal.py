@@ -267,6 +267,8 @@ def media_feature_norms(sf_dir: str) -> pd.DataFrame:
     norms from the content rules via generate_series."""
     import os
 
+    from ray.data.aggregate import Mean
+
     ds = media_pipeline(os.path.join(sf_dir, "documents.parquet"))
 
     def norms(df: pd.DataFrame) -> pd.DataFrame:
@@ -277,10 +279,9 @@ def media_feature_norms(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(norms, batch_format="pandas")
+        .groupby("kind")
+        .aggregate(Mean("norm", alias_name="mean_feature_norm"))
         .to_pandas()
-        .groupby("kind", as_index=False)["norm"]
-        .mean()
-        .rename(columns={"norm": "mean_feature_norm"})
     )
     out["mean_feature_norm"] = out["mean_feature_norm"].round(6)
     return out.sort_values("kind").reset_index(drop=True)
