@@ -379,16 +379,35 @@ def _build_plan_task(
     return plan
 
 
+# Driver-side memo of the plan-build wave keyed by probeset content
+# version: repeated queries against a REUSED probeset (the ``probeset_dir``
+# API, the same panel against several thetas / source filters) skip the
+# whole rebuild — at the 1M-query tier the wave is seconds of layout +
+# per-bucket decode work.  Holding the refs pins the plasma plans
+# (~60 MB x NSB at 1M queries), so only the last few probesets are kept.
+_PLAN_REFS_MEMO: "dict[tuple, dict]" = {}
+_PLAN_REFS_MEMO_MAX = 2
+
+
 def build_plan_refs(probeset_dir: str, nsb: int, cfg) -> dict:
     """Kick off the layout build then the NSB plan builds in parallel;
     returns {sb: ObjectRef}.  Non-blocking — probe tasks block on their
     bucket's ref only; the layout ref resolves as a task dependency
-    (zero-copy numpy from plasma), so the layout is built exactly once."""
-    layout_ref = _build_layout_task.remote(probeset_dir)
-    return {
-        sb: _build_plan_task.remote(probeset_dir, sb, cfg, layout_ref)
-        for sb in range(nsb)
-    }
+    (zero-copy numpy from plasma), so the layout is built exactly once.
+    Memoized per (probeset content version, nsb, cfg): a reused probeset
+    reuses the plasma-resident plans instead of rebuilding the wave."""
+    key = (probeset_dir, _probeset_version(probeset_dir), nsb, cfg)
+    refs = _PLAN_REFS_MEMO.pop(key, None)
+    if refs is None:
+        layout_ref = _build_layout_task.remote(probeset_dir)
+        refs = {
+            sb: _build_plan_task.remote(probeset_dir, sb, cfg, layout_ref)
+            for sb in range(nsb)
+        }
+    _PLAN_REFS_MEMO[key] = refs  # dict order == LRU order
+    while len(_PLAN_REFS_MEMO) > _PLAN_REFS_MEMO_MAX:
+        _PLAN_REFS_MEMO.pop(next(iter(_PLAN_REFS_MEMO)))
+    return refs
 
 
 # Per-process cache of plasma-backed plans keyed by ObjectRef so a worker

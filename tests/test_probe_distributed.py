@@ -282,3 +282,41 @@ def test_probeset_rewritten_at_same_path_not_served_stale(
     ).to_pandas()
     assert _norm(got).equals(_norm(want))
     assert len(want) > 0
+
+
+def test_plan_refs_memoized_per_probeset_version(
+    dist_index, tmp_path_factory
+):
+    """build_plan_refs returns the SAME plasma refs for a reused probeset
+    (same dir + content version) and FRESH refs after a rewrite — repeat
+    queries against a reused panel must skip the plan-build wave without
+    ever serving a stale layout."""
+    import os
+    import shutil
+    import time as _time
+
+    from metaprofi_ray.sources import io as bank_io
+    from metaprofi_ray.stages import probe_distributed as pdmod
+
+    corpus, idx = dist_index
+    cfg, _ = bank_io.read_manifest(idx)
+    nsb = bank_io.shard_bucket_count(idx) or 1
+    panel = make_queries(corpus, CFG.k, n_exact=4, n_negative=2)
+    pdir = str(tmp_path_factory.mktemp("pmemo") / "probeset")
+    query_pipe.query_index_streaming_distributed(
+        idx, panel, theta=100, probeset_dir=pdir
+    ).to_pandas()
+    first = pdmod.build_plan_refs(pdir, nsb, cfg)
+    again = pdmod.build_plan_refs(pdir, nsb, cfg)
+    assert {s: r.binary() for s, r in first.items()} == {
+        s: r.binary() for s, r in again.items()
+    }
+    shutil.rmtree(pdir)
+    _time.sleep(0.05)
+    query_pipe.query_index_streaming_distributed(
+        idx, panel, theta=100, probeset_dir=pdir
+    ).to_pandas()  # rewrite at the same path -> new content version
+    fresh = pdmod.build_plan_refs(pdir, nsb, cfg)
+    assert {s: r.binary() for s, r in first.items()} != {
+        s: r.binary() for s, r in fresh.items()
+    }
