@@ -636,15 +636,17 @@ def _emit_lanes(
     valid window bit set), so the reduce's AND over the lanes that DO
     arrive is exact."""
     S = len(src_names)
+    if plan.n_queries == 0:
+        return MASK_SCHEMA.empty_table()
     lanes = np.ascontiguousarray(packed[:, plan.lane_gather])
     cg = constrained[:, plan.slot_order]
-    csum = np.concatenate(
-        [np.zeros((S, 1), dtype=np.int64),
-         np.cumsum(cg, axis=1, dtype=np.int64)],
-        axis=1,
-    )
-    seg = csum[:, plan.kb_bounds[1:]] - csum[:, plan.kb_bounds[:-1]]
-    emit = (seg > 0).ravel()
+    # any-constrained per (source, kb): a 64-segment reduceat instead of a
+    # full S x (Q+1) int64 cumsum (a ~128 MB temporary at 1M queries);
+    # reduceat yields cg[:, start] for EMPTY segments, so mask those out
+    nonempty = plan.kb_bounds[1:] > plan.kb_bounds[:-1]
+    starts = np.minimum(plan.kb_bounds[:-1], cg.shape[1] - 1)
+    seg = np.logical_or.reduceat(cg, starts, axis=1) & nonempty[None, :]
+    emit = seg.ravel()
     if not emit.any():
         return MASK_SCHEMA.empty_table()
     LB = lanes.shape[1]
