@@ -26,9 +26,14 @@ class _EmptySchemaMismatchFilter(logging.Filter):
         msg = record.getMessage()
         if _SCHEMA_MSG not in msg:
             return True
-        # "new schema: <schema>." — keep unless the new schema is empty
+        # "new schema: <schema>." — keep unless the new schema is empty;
+        # empty blocks print as "." (Arrow) or as a zero-column
+        # PandasBlockSchema (pandas-block stages)
         tail = msg.split("new schema:", 1)[-1].strip()
-        return not tail.startswith(".")
+        return not (
+            tail.startswith(".")
+            or tail.startswith("PandasBlockSchema(names=[], types=[])")
+        )
 
 
 _installed = False

@@ -488,3 +488,36 @@ class TestBpeTrain:
         clean = bpe_train_local(["abab abab abab", "abab abab"], n_merges=4,
                                 min_freq=1)
         assert want == clean
+
+
+class TestEmptySchemaWarningFilter:
+    """The benign zero-column empty-block schema warning is dropped in BOTH
+    its Arrow ('.') and pandas (PandasBlockSchema(names=[], types=[]))
+    prints; a REAL mismatch (two non-empty schemas) still warns."""
+
+    def _keep(self, msg: str) -> bool:
+        import logging
+
+        from metaprofi_ray.logutil import _EmptySchemaMismatchFilter
+
+        rec = logging.LogRecord(
+            "ray.data._internal.execution.streaming_executor_state",
+            logging.WARNING, __file__, 1, msg, None, None,
+        )
+        return _EmptySchemaMismatchFilter().filter(rec)
+
+    def test_empty_variants_dropped_real_mismatch_kept(self):
+        head = (
+            "Operator produced a RefBundle with a different schema than "
+            "the previous one. Previous schema: doc_a: int64, new schema: "
+        )
+        assert not self._keep(head + ". This may lead to unexpected behavior.")
+        assert not self._keep(
+            head + "PandasBlockSchema(names=[], types=[]). This may lead "
+            "to unexpected behavior."
+        )
+        assert self._keep(
+            head + "PandasBlockSchema(names=['x'], types=[dtype('int64')])."
+        )
+        assert self._keep(head + "doc_b: int64.")
+        assert self._keep("some unrelated warning")
