@@ -165,12 +165,17 @@ def prep_probe_batch(
 
 
 class _ProbesetLayout:
-    """Per-query byte-aligned GLOBAL mask layout (queries ordered by qh),
-    built from the probeset's meta slice.  Identical for EVERY shard
-    bucket of a probeset — cached per probeset_dir so a worker that
-    probes several buckets reads the meta and builds the 2M-bit template
-    once, not once per bucket (plan builds were ~90% of probe-task time
-    at 50k queries before this split)."""
+    """Per-query byte-aligned GLOBAL mask layout, built from the
+    probeset's meta slice.  Queries are ordered KB-MAJOR (``kb = qh %
+    N_REDUCE_BUCKETS``), qh-ascending within each bucket — exactly the
+    order the lane reduce derives from its meta rows — so lane emission
+    is pure offset arithmetic over the packed matrix (no byte gather; the
+    former qh-global order needed an O(S x L) permutation per probe
+    batch).  Identical for EVERY shard bucket of a probeset — cached per
+    probeset_dir so a worker that probes several buckets reads the meta
+    and builds the 2M-bit template once, not once per bucket (plan
+    builds were ~90% of probe-task time at 50k queries before this
+    split)."""
 
     def __init__(self, probeset_dir: str):
         import os
@@ -182,10 +187,11 @@ class _ProbesetLayout:
         )
         qh = meta["qh"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nw = meta["nw"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(qh, kind="stable")
-        self.qh_sorted = qh[order]
-        self.nw_sorted = nw[order]
-        pad_bits = ((self.nw_sorted + 7) // 8) * 8
+        kb_of = (qh % np.uint64(N_REDUCE_BUCKETS)).astype(np.int64)
+        order = np.lexsort((qh, kb_of))  # kb-major, qh-ascending within
+        self.qh_layout = qh[order]
+        self.nw_layout = nw[order]
+        pad_bits = ((self.nw_layout + 7) // 8) * 8
         bit_off = np.concatenate([[0], np.cumsum(pad_bits)]).astype(np.int64)
         L = int(bit_off[-1])
         # template via a +1/-1 delta + running sum — two passes over an
@@ -194,43 +200,31 @@ class _ProbesetLayout:
         # ~2 × L bytes)
         delta = np.zeros(L + 1, dtype=np.int8)
         delta[bit_off[:-1]] = 1
-        np.subtract.at(delta, bit_off[:-1] + self.nw_sorted, 1)
+        np.subtract.at(delta, bit_off[:-1] + self.nw_layout, 1)
         self.template = np.cumsum(delta[:-1], dtype=np.int8).view(np.bool_)
         self.bit_off = bit_off
         self.byte_off = (bit_off // 8).astype(np.int64)
-        self.n_queries = len(self.qh_sorted)
-        # Lane-mode structures: the reduce key's view of the packed global
-        # mask.  ``lane_gather`` is the byte permutation that regroups the
-        # per-query padded mask bytes by ``kb = qh % N_REDUCE_BUCKETS``
-        # (kb-major, qh-sorted within — the exact order the reduce derives
-        # from its meta rows); ``lane_bounds[kb]:lane_bounds[kb+1]`` is
-        # bucket kb's byte range after the gather.  Lane mode emits ONE
-        # mask row per (source, kb) instead of one per (query, source) —
-        # the same payload bytes with ~Q/NKB fewer rows, which is what the
-        # mask shuffle's cost is proportional to at large query counts.
-        kb_of = (self.qh_sorted % np.uint64(N_REDUCE_BUCKETS)).astype(
-            np.int64
-        )
-        slot_order = np.argsort(kb_of, kind="stable")
+        self.n_queries = len(self.qh_layout)
+        # ``lane_bounds[kb]:lane_bounds[kb+1]`` is bucket kb's byte range
+        # directly in the packed layout (kb-major order makes each bucket
+        # contiguous).  Lane mode emits ONE mask row per (source, kb)
+        # instead of one per (query, source) — the same payload bytes
+        # with ~Q/NKB fewer rows, which is what the mask shuffle's cost
+        # is proportional to at large query counts.
         kb_bounds = np.searchsorted(
-            kb_of[slot_order], np.arange(N_REDUCE_BUCKETS + 1)
+            kb_of[order], np.arange(N_REDUCE_BUCKETS + 1)
         )
-        pad_bytes = ((self.nw_sorted + 7) // 8).astype(np.int64)
-        lens = pad_bytes[slot_order]
-        starts = self.byte_off[:-1][slot_order]
-        out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        self.lane_gather = (
-            np.arange(int(out_off[-1]), dtype=np.int64)
-            - np.repeat(out_off[:-1], lens)
-            + np.repeat(starts, lens)
-        )
-        self.lane_bounds = out_off[kb_bounds]
-        self.slot_order = slot_order
+        self.lane_bounds = self.byte_off[kb_bounds]
         self.kb_bounds = kb_bounds
+        # probe-entry slot lookup: entries arrive keyed by qh, so keep an
+        # ascending-qh view + the map back to layout slots
+        asc = np.argsort(self.qh_layout, kind="stable")
+        self.qh_asc = self.qh_layout[asc]
+        self.slot_of_asc = asc.astype(np.int64)
         self.nbytes = int(
             self.template.nbytes + self.bit_off.nbytes * 2
-            + self.qh_sorted.nbytes + self.nw_sorted.nbytes
-            + self.lane_gather.nbytes + self.slot_order.nbytes
+            + self.qh_layout.nbytes * 2 + self.nw_layout.nbytes
+            + self.slot_of_asc.nbytes
         )
 
 
@@ -277,16 +271,16 @@ class SliceProbePlan:
 
         if layout is None:
             layout = _layout_for(probeset_dir)
-        self.qh_sorted = layout.qh_sorted
-        self.nw_sorted = layout.nw_sorted
+        self.qh_layout = layout.qh_layout
+        self.nw_layout = layout.nw_layout
         self.template = layout.template
         self.bit_off = layout.bit_off
         self.byte_off = layout.byte_off
         self.n_queries = layout.n_queries
-        self.lane_gather = layout.lane_gather
         self.lane_bounds = layout.lane_bounds
-        self.slot_order = layout.slot_order
         self.kb_bounds = layout.kb_bounds
+        self.qh_asc = layout.qh_asc
+        self.slot_of_asc = layout.slot_of_asc
         # the shared layout is counted by its own memo, not per plan
         self.nbytes = 0
 
@@ -314,7 +308,7 @@ class SliceProbePlan:
         e_win = _cat("e_win", "<i4").astype(np.int64)
         if shard.size == 0:
             return
-        slot = np.searchsorted(self.qh_sorted, e_qh)
+        slot = self.slot_of_asc[np.searchsorted(self.qh_asc, e_qh)]
         flat_pos = self.bit_off[slot] + e_win
         order = np.lexsort((flat_pos, shard))
         shard_s = shard[order]
@@ -601,7 +595,7 @@ def _probe_with_plan(
              pa.py_buffer(packed.tobytes())],
         )
         shash = np.array([hash64_str(s) for s in src_names], dtype=np.uint64)
-        qh_tile = np.tile(plan.qh_sorted, S)
+        qh_tile = np.tile(plan.qh_layout, S)
         n = S * Q
         full = pa.table(
             {
@@ -627,28 +621,33 @@ def _emit_lanes(
     src_names: list,
 ) -> pa.Table:
     """Lane-mode mask rows: ONE row per (source, reduce bucket), carrying
-    the concatenated packed masks of every query in that bucket (kb-major
-    byte permutation precomputed in the layout).  Same payload bytes as
-    the per-pair rows, ~n_queries/NKB fewer of them — the mask shuffle's
-    sort cost is row-count-bound, so this is the ≫100k-query scale form.
-    A (source, kb) cell with no constrained query is omitted; omitted
-    lanes are AND-identity by construction (the template leaves every
-    valid window bit set), so the reduce's AND over the lanes that DO
-    arrive is exact."""
+    the concatenated packed masks of every query in that bucket.  The
+    layout is kb-major, so each bucket's bytes are already contiguous in
+    ``packed`` — emission is offset arithmetic over the packed matrix, no
+    per-batch byte gather.  Same payload bytes as the per-pair rows,
+    ~n_queries/NKB fewer of them — the mask shuffle's sort cost is
+    row-count-bound, so this is the ≫100k-query scale form.  A (source,
+    kb) cell with no constrained query is omitted; omitted lanes are
+    AND-identity by construction (the template leaves every valid window
+    bit set), so the reduce's AND over the lanes that DO arrive is
+    exact."""
     S = len(src_names)
     if plan.n_queries == 0:
         return MASK_SCHEMA.empty_table()
-    lanes = np.ascontiguousarray(packed[:, plan.lane_gather])
-    cg = constrained[:, plan.slot_order]
     # any-constrained per (source, kb): a 64-segment reduceat instead of a
     # full S x (Q+1) int64 cumsum (a ~128 MB temporary at 1M queries);
-    # reduceat yields cg[:, start] for EMPTY segments, so mask those out
+    # reduceat yields constrained[:, start] for EMPTY segments, so mask
+    # those out
     nonempty = plan.kb_bounds[1:] > plan.kb_bounds[:-1]
-    starts = np.minimum(plan.kb_bounds[:-1], cg.shape[1] - 1)
-    seg = np.logical_or.reduceat(cg, starts, axis=1) & nonempty[None, :]
+    starts = np.minimum(plan.kb_bounds[:-1], constrained.shape[1] - 1)
+    seg = (
+        np.logical_or.reduceat(constrained, starts, axis=1)
+        & nonempty[None, :]
+    )
     emit = seg.ravel()
     if not emit.any():
         return MASK_SCHEMA.empty_table()
+    lanes = packed
     LB = lanes.shape[1]
     nkb = plan.lane_bounds.shape[0] - 1
     n = S * nkb
@@ -1070,7 +1069,7 @@ def _reduce_lane_group(
 ) -> pa.Table:
     """Lane-mode reduce for ONE kb group: derive the bucket's local mask
     layout from its meta rows (qh-sorted, byte-padded — the same order the
-    probe's ``lane_gather`` produced), AND each source's lanes bytewise,
+    probe's kb-major layout produced), AND each source's lanes bytewise,
     popcount per query region, apply the missing-shard correction only to
     the (source, query) cells that can need it, and threshold.  All array
     math except the (rare) per-query correction fix-ups."""
