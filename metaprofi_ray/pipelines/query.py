@@ -86,6 +86,7 @@ def query_index_streaming(
     concurrency: int | tuple[int, int] = (1, 8),
     theta_compat: str = "exact",
     sources: list[str] | None = None,
+    lane_mode: bool | None = None,
 ) -> rd.Dataset:
     """Scale path: the BANK dataset streams (never broadcast, never fully in
     memory) while the query probe set is broadcast — for indexes whose
@@ -101,6 +102,12 @@ def query_index_streaming(
     ``bank_io.bank_files`` exposes the pruned/total file counts a caller or
     test can assert — and an exact membership filter inside the first
     ``map_batches`` removes same-bucket neighbours.
+
+    ``lane_mode`` picks the mask-shuffle protocol (see
+    ``query_index_streaming_distributed`` — same semantics): per-(query,
+    source) pair rows, or per-(source, reduce-bucket) LANE rows carrying
+    all of a bucket's query masks in one row.  ``None`` (default) chooses
+    lanes at ≥ 4096 queries.  Results are identical (property-tested).
     """
     import pyarrow.parquet as pq
 
@@ -156,20 +163,23 @@ def query_index_streaming(
         target = max(2 * pool_max, n_files // 4)
     if n_files > target:
         banks = banks.repartition(target)
+    if lane_mode is None:
+        lane_mode = queries.num_rows >= 4096
     masks = banks.map_batches(
         ShardProber,
-        fn_constructor_args=(probe_ref,),
+        fn_constructor_args=(probe_ref, lane_mode),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,
         num_cpus=1,
     )
-    # coarse-bucket reduce: kb = crc32(query, source) % 64 — the shuffle
-    # produces 64 groups, each finalizing its (query, source) pairs
-    # in-process (per-pair Ray dispatch would dominate at scale)
+    # coarse-bucket reduce: the shuffle produces 64 groups (kb = 64-bit
+    # (query ^ source) hash % 64 in pair mode, query hash % 64 in lane
+    # mode), each finalizing its pairs/lanes in-process (per-pair Ray
+    # dispatch would dominate at scale)
     return masks.groupby("kb").map_groups(
         make_reduce_masks(probe_ref, theta, source_shards_ref,
-                          theta_compat=theta_compat),
+                          theta_compat=theta_compat, lane_mode=lane_mode),
         batch_format="pyarrow",
     )
 

@@ -110,11 +110,12 @@ def test_random_corpus_no_false_negatives_and_exact_counts(
 def test_random_corpus_distributed_lane_equals_broadcast(
     ray_session, tmp_path_factory, seed
 ):
-    """Both distributed-probe mask protocols (pair rows and lane rows)
-    must reproduce the broadcast prober EXACTLY on random corpora —
-    random k/h/shards, skewed sources, queries including sub-window
-    (nw=0) rows that yield no probeset entries at all."""
+    """All four mask protocols — distributed pair/lane AND broadcast-
+    streaming pair/lane — must reproduce the broadcast prober EXACTLY on
+    random corpora: random k/h/shards, skewed sources, queries including
+    sub-window (nw=0) rows that yield no probeset entries at all."""
     from metaprofi_ray.pipelines.query import (
+        query_index_streaming,
         query_index_streaming_distributed,
     )
 
@@ -159,3 +160,7 @@ def test_random_corpus_distributed_lane_equals_broadcast(
             idx, queries, theta=theta, lane_mode=lane
         ).to_pandas()
         assert key(got) == key(ref), (seed, theta, lane)
+        got_s = query_index_streaming(
+            idx, queries, theta=theta, lane_mode=lane
+        ).to_pandas()
+        assert key(got_s) == key(ref), (seed, theta, "stream", lane)

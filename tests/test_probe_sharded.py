@@ -29,12 +29,15 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+@pytest.mark.parametrize("lane_mode", [False, True])
 @pytest.mark.parametrize("theta", [100, 60])
-def test_streaming_equals_broadcast(small_index, theta):
+def test_streaming_equals_broadcast(small_index, theta, lane_mode):
     corpus, idx = small_index
     queries = make_queries(corpus, CFG.k, n_exact=20, n_negative=20)
     broadcast = query_pipe.query_table(idx, queries, theta=theta).to_pandas()
-    streaming = query_pipe.query_index_streaming(idx, queries, theta=theta).to_pandas()
+    streaming = query_pipe.query_index_streaming(
+        idx, queries, theta=theta, lane_mode=lane_mode
+    ).to_pandas()
     assert _norm(streaming).equals(_norm(broadcast))
 
 
@@ -71,6 +74,12 @@ def test_streaming_missing_shard_semantics(ray_session, tmp_path_factory):
     streaming = query_pipe.query_index_streaming(idx, queries, theta=100).to_pandas()
     assert _norm(streaming).equals(_norm(broadcast))
     assert "s0" in set(streaming["source"])
+    # the lane protocol carries vacuous template bits for unconstrained
+    # (source, query) cells and relies on the correction to clear them
+    lanes = query_pipe.query_index_streaming(
+        idx, queries, theta=100, lane_mode=True
+    ).to_pandas()
+    assert _norm(lanes).equals(_norm(broadcast))
 
 
 def test_source_restricted_query_prunes_at_read(small_index):
