@@ -82,6 +82,20 @@ MASK_SCHEMA = pa.schema(
 )
 
 
+def _entry_widths(cfg: SketchConfig) -> tuple[str, str]:
+    """(shard_dtype, local_dtype) for probeset entry payloads: 4-byte when
+    the config guarantees the values fit (shard ids < cfg.shards; local
+    bit offsets < cfg.shard_bits), else 8-byte.  Decoders never consult
+    the config — every blob travels next to a win blob whose width is
+    fixed at 4 B/entry, so the itemsize is re-derived from the byte
+    lengths (``len(shard_blob) // (len(win_blob) // 4)``).  That makes
+    the format self-describing: legacy 8-byte probesets persisted by
+    older builds keep decoding, and prep/decode can never disagree."""
+    shard_dt = "<i4" if cfg.shards <= 0x7FFFFFFF else "<i8"
+    local_dt = "<i4" if cfg.shard_bits <= 0x7FFFFFFF else "<i8"
+    return shard_dt, local_dt
+
+
 def prep_probe_batch(
     t: pa.Table, cfg: SketchConfig, nsb: int, nkb: int = N_REDUCE_BUCKETS
 ) -> pa.Table:
@@ -110,6 +124,7 @@ def prep_probe_batch(
         out["c_win"].append(b"")
         out["kb"].append(-1)
 
+    shard_dt, local_dt = _entry_widths(cfg)
     if n_wins_total:
         bits = bloom.bits_for_windows(values, starts, cfg)  # (n_wins, h)
         h = bits.shape[1]
@@ -130,8 +145,8 @@ def prep_probe_batch(
             sl = order[s0:s1]
             _entry_row(
                 sb_s[s0],
-                shard[sl].astype("<i8").tobytes(),
-                local[sl].astype("<i8").tobytes(),
+                shard[sl].astype(shard_dt).tobytes(),
+                local[sl].astype(local_dt).tobytes(),
                 qh[eq[sl]].astype("<u8").tobytes(),
                 win_local[sl].astype("<i4").tobytes(),
             )
@@ -154,7 +169,7 @@ def prep_probe_batch(
             out["qh"].append(int(qh[q]))
             out["qid"].append(qids[q])
             out["nw"].append(int(nw[q]))
-            out["c_shard"].append(shard[sl].astype("<i8").tobytes())
+            out["c_shard"].append(shard[sl].astype(shard_dt).tobytes())
             out["c_win"].append(win_local[sl].astype("<i4").tobytes())
             out["kb"].append(int(qh[q] % np.uint64(nkb)))
     return pa.table(
@@ -302,12 +317,23 @@ class SliceProbePlan:
             seg = np.ascontiguousarray(dat[off[0] : off[-1]])
             return seg.view(dt)
 
-        shard = _cat("e_shard", "<i8")
-        local = _cat("e_local", "<i8")
-        e_qh = _cat("e_qh", "<u8")
-        e_win = _cat("e_win", "<i4").astype(np.int64)
-        if shard.size == 0:
+        e_win_raw = _cat("e_win", "<i4")
+        n_ent = int(e_win_raw.size)
+        if n_ent == 0:
             return
+
+        def _cat_entries(col):
+            # self-describing width (see _entry_widths): the win blob is
+            # 4 B/entry, so itemsize = total bytes / entry count — legacy
+            # 8-byte probesets and narrow 4-byte ones both decode
+            off, dat = _binary_col_views(ent[col])
+            seg = np.ascontiguousarray(dat[off[0] : off[-1]])
+            return seg.view(f"<i{seg.size // n_ent}")
+
+        shard = _cat_entries("e_shard")
+        local = _cat_entries("e_local")
+        e_qh = _cat("e_qh", "<u8")
+        e_win = e_win_raw.astype(np.int64)
         slot = self.slot_of_asc[np.searchsorted(self.qh_asc, e_qh)]
         flat_pos = self.bit_off[slot] + e_win
         order = np.lexsort((flat_pos, shard))
@@ -716,7 +742,8 @@ def meta_to_packed_rows(t: pa.Table) -> pa.Table:
       ``c_shard`` = the n queries' c_shard blobs concatenated
       ``c_win``   = the n queries' c_win blobs concatenated
     ``nent`` is each query's (shard, window) entry count, recovering the
-    per-query slices of c_shard (×8 bytes) and c_win (×4 bytes)."""
+    per-query slices of c_win (×4 bytes) and c_shard (× its self-described
+    itemsize — 4 or 8 bytes, see ``_entry_widths``)."""
     if t.num_rows == 0:
         return MASK_SCHEMA.empty_table()
     kb = t["kb"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -747,9 +774,11 @@ def meta_to_packed_rows(t: pa.Table) -> pa.Table:
     for s0, s1 in zip(bounds[:-1], bounds[1:]):
         rows = order[s0:s1]
         n = len(rows)
-        cs_cat, cs_bnd = _gather_ragged(cs_dat, cs_off, rows)
-        cw_cat, _ = _gather_ragged(cw_dat, cw_off, rows)
-        nent = ((cs_bnd[1:] - cs_bnd[:-1]) // 8).astype(np.int32)
+        cs_cat, _ = _gather_ragged(cs_dat, cs_off, rows)
+        cw_cat, cw_bnd = _gather_ragged(cw_dat, cw_off, rows)
+        # entry counts from the fixed-width (4 B/entry) win blob — the
+        # shard blob's width is 4 or 8 B/entry (see _entry_widths)
+        nent = ((cw_bnd[1:] - cw_bnd[:-1]) // 4).astype(np.int32)
         qd_cat, qd_bnd = _gather_ragged(q_dat, q_off, rows)
         blob = b"".join(
             [
@@ -899,12 +928,16 @@ def make_distributed_reduce(theta: int, source_shards_ref,
         cw_col = group["c_win"]
         for i in meta_idx:
             i = int(i)
-            c_shard = np.frombuffer(cs_col[i].as_py(), dtype="<i8")
+            c_win = np.frombuffer(cw_col[i].as_py(), dtype="<i4")
+            cs_buf = cs_col[i].as_py()
+            # shard blob width is self-described by the 4 B/entry win blob
+            cs_item = len(cs_buf) // c_win.size if c_win.size else 8
+            c_shard = np.frombuffer(cs_buf, dtype=f"<i{cs_item}")
             qinfo[int(qh_all[i])] = {
                 "qid": qid_col[i].as_py(),
                 "nw": int(nw_col[i].as_py()),
                 "c_shard": c_shard,
-                "c_win": np.frombuffer(cw_col[i].as_py(), dtype="<i4"),
+                "c_win": c_win,
                 # every probed shard exists somewhere in the index → a
                 # full source needs no correction for this query
                 "in_full": bool(
@@ -1105,9 +1138,9 @@ def _reduce_lane_group(
         )[m1].astype(np.int32)
         cs_off, cs_dat = _binary_col_views(group["c_shard"])
         cw_off, cw_dat = _binary_col_views(group["c_win"])
-        cs_cat, cs_b1 = _gather_ragged(cs_dat, cs_off, m1)
-        cw_cat, _ = _gather_ragged(cw_dat, cw_off, m1)
-        nent_cat = ((cs_b1[1:] - cs_b1[:-1]) // 8).astype(np.int32)
+        cs_cat, _ = _gather_ragged(cs_dat, cs_off, m1)
+        cw_cat, cw_b1 = _gather_ragged(cw_dat, cw_off, m1)
+        nent_cat = ((cw_b1[1:] - cw_b1[:-1]) // 4).astype(np.int32)
         qid_arrays = [
             group["qid"].combine_chunks().cast(pa.large_string())
             .take(pa.array(m1))
@@ -1127,13 +1160,17 @@ def _reduce_lane_group(
     )
 
     # constraint structure re-sliced into qh-sorted order (entries are
-    # (shard, window) pairs; every query has >= 1 entry)
+    # (shard, window) pairs; every query has >= 1 entry).  The shard
+    # blob's itemsize is self-described: total bytes / total entries
+    # (4 or 8 B/entry, see _entry_widths; uniform within one probeset)
     ent_b = np.concatenate([[0], np.cumsum(nent_cat.astype(np.int64))])
-    cs_sorted, cs_bnd = _gather_ragged(cs_cat, ent_b * 8, order_m)
+    n_ent_tot = int(ent_b[-1])
+    cs_item = cs_cat.size // n_ent_tot if n_ent_tot else 8
+    cs_sorted, cs_bnd = _gather_ragged(cs_cat, ent_b * cs_item, order_m)
     cw_sorted, _ = _gather_ragged(cw_cat, ent_b * 4, order_m)
-    shards_cat = cs_sorted.view("<i8")
+    shards_cat = cs_sorted.view(f"<i{cs_item}")
     wins_cat = cw_sorted.view("<i4")
-    q_bnd = (cs_bnd // 8).astype(np.int64)
+    q_bnd = (cs_bnd // cs_item).astype(np.int64)
     in_full_q = np.logical_and.reduceat(
         np.isin(shards_cat, full_arr), q_bnd[:-1]
     ) if shards_cat.size else np.zeros(Qk, dtype=bool)

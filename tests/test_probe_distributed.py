@@ -320,3 +320,37 @@ def test_plan_refs_memoized_per_probeset_version(
     assert {s: r.binary() for s, r in first.items()} != {
         s: r.binary() for s, r in fresh.items()
     }
+
+
+def test_legacy_wide_probeset_still_decodes(
+    dist_index, tmp_path_factory, monkeypatch
+):
+    """Probeset entry/constraint blobs are self-describing (itemsize is
+    re-derived from the 4 B/entry win blob), so a probeset persisted by an
+    older build with 8-byte shard/local payloads must decode and reduce
+    identically to the current narrow format."""
+    import ray.data as rd
+
+    from metaprofi_ray.sources import io as bank_io
+    from metaprofi_ray.stages import probe_distributed as pdmod
+
+    corpus, idx = dist_index
+    queries = make_queries(corpus, CFG.k, n_exact=15, n_negative=10)
+    cfg, _ = bank_io.read_manifest(idx)
+    nsb = bank_io.shard_bucket_count(idx) or 1
+
+    # write the probeset the way a legacy (pre-narrow-width) build did:
+    # every payload 8 bytes per entry
+    monkeypatch.setattr(pdmod, "_entry_widths", lambda _cfg: ("<i8", "<i8"))
+    legacy = pdmod.prep_probe_batch(queries, cfg, nsb)
+    monkeypatch.undo()
+    assert legacy.num_rows > 0
+    pdir = str(tmp_path_factory.mktemp("plegacy") / "probeset")
+    rd.from_arrow(legacy).write_parquet(pdir, partition_cols=["sb"])
+
+    expect = query_pipe.query_table(idx, queries, theta=60).to_pandas()
+    for lane in (False, True):
+        got = query_pipe.query_index_streaming_distributed(
+            idx, queries, theta=60, probeset_dir=pdir, lane_mode=lane
+        ).to_pandas()
+        assert _norm(got).equals(_norm(expect)), f"lane_mode={lane}"
