@@ -354,3 +354,33 @@ def test_legacy_wide_probeset_still_decodes(
             idx, queries, theta=60, probeset_dir=pdir, lane_mode=lane
         ).to_pandas()
         assert _norm(got).equals(_norm(expect)), f"lane_mode={lane}"
+
+
+def test_fresh_probeset_uses_narrow_widths():
+    """A config whose shard count / shard bits fit in i32 must produce
+    4 B/entry shard+local payloads (the e_win blob is 4 B/entry always,
+    e_qh 8 B/entry)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from metaprofi_ray.stages import probe_distributed as pdmod
+
+    rng = np.random.default_rng(3)
+    qt = pa.table(
+        {
+            "query_id": [f"q{i}" for i in range(10)],
+            "tokens": pa.array(
+                list(rng.integers(0, 1000, size=(10, 12), dtype=np.int32)),
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    t = pdmod.prep_probe_batch(qt, CFG, nsb=2)
+    ent = t.filter(pa.compute.field("sb") >= 0)
+    e_shard = sum(len(v.as_py()) for v in ent["e_shard"])
+    e_win = sum(len(v.as_py()) for v in ent["e_win"])
+    assert e_win > 0 and e_shard * 4 == e_win * 4  # 4 B/entry each
+    meta = t.filter(pa.compute.field("sb") == -1)
+    c_shard = sum(len(v.as_py()) for v in meta["c_shard"])
+    c_win = sum(len(v.as_py()) for v in meta["c_win"])
+    assert c_win > 0 and c_shard == c_win  # both 4 B/entry
