@@ -56,27 +56,37 @@ END = "</w>"
 def _words_to_symbol_rows(t: pa.Table) -> pa.Table:
     """One batch of documents → (word, freq) partials: whitespace-split,
     per-block combine (dedupe words within the batch before shuffling).
-    Strips the internal SEP byte from words (see module docstring)."""
-    texts = t["text"].to_pylist()
-    counts: dict[str, int] = {}
-    for txt in texts:
-        if not txt:
-            continue
-        for w in txt.split():
-            if SEP in w:
-                w = w.replace(SEP, "")
-                if not w:
-                    continue
-            counts[w] = counts.get(w, 0) + 1
-    if not counts:
+    Strips the internal SEP byte from words (see module docstring).
+
+    This is the only stage that scales with CORPUS size (everything after
+    runs over the distinct-word table), so it is fully vectorized: one
+    Arrow split pass, one C++ dictionary dedupe, counts via bincount —
+    the same kernel shape as ``textstats.token_topk``'s combiner."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.wordids import split_words
+
+    flat, _, _ = split_words(t["text"])
+    if len(flat) == 0:
         return pa.table(
             {"word": pa.array([], pa.string()),
              "freq": pa.array([], pa.int64())}
         )
+    # SEP inside a word would corrupt the symbol encoding — strip it
+    # (vectorized; \x01 is not whitespace so the split keeps it attached)
+    flat = pc.replace_substring(flat, pattern=SEP, replacement="")
+    dct = pc.dictionary_encode(flat)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    idx = dct.indices.to_numpy(zero_copy_only=False)
+    words = np.asarray(dct.dictionary.to_pandas(), dtype=object)
+    counts = np.bincount(idx, minlength=len(words)).astype(np.int64)
+    keep = words != ""  # split artifacts + SEP-only words
     return pa.table(
         {
-            "word": pa.array(list(counts.keys()), pa.string()),
-            "freq": pa.array(list(counts.values()), pa.int64()),
+            "word": pa.array(words[keep], pa.string()),
+            "freq": pa.array(counts[keep], pa.int64()),
         }
     )
 
