@@ -73,9 +73,15 @@ def _words_to_symbol_rows(t: pa.Table) -> pa.Table:
             {"word": pa.array([], pa.string()),
              "freq": pa.array([], pa.int64())}
         )
-    # SEP inside a word would corrupt the symbol encoding — strip it
-    # (vectorized; \x01 is not whitespace so the split keeps it attached)
-    flat = pc.replace_substring(flat, pattern=SEP, replacement="")
+    # SEP inside a word would corrupt the symbol encoding — strip it.
+    # The replace allocates a full copy of the flat word array, so probe
+    # first (one cheap scan of the text column): SEP-bearing corpora are
+    # the exception, not the rule.
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pc.any(pc.match_substring(pc.fill_null(texts, ""), SEP)).as_py():
+        flat = pc.replace_substring(flat, pattern=SEP, replacement="")
     dct = pc.dictionary_encode(flat)
     if isinstance(dct, pa.ChunkedArray):
         dct = dct.combine_chunks()
