@@ -199,16 +199,23 @@ def _apply_merges(t: pa.Table, merges: list[tuple[str, str]]) -> pa.Table:
 
 
 def word_frequency_table(sf_dir: str) -> rd.Dataset:
-    """ONE corpus pass → distinct (word, freq) Dataset."""
+    """ONE corpus pass → distinct (word, freq) Dataset.
+
+    The reduce is a hash aggregate (``functions.hashagg``), not the
+    native ``groupby(word).sum``: word cardinality is high, and the
+    sort-based aggregate's per-group Python loop measured 347 s remote
+    CPU / 24 s wall on a 49k-word table whose map+combine stages take
+    2 s.  Hash-partition + per-block Arrow group_by runs the same reduce
+    in C++ (24 → ~4 s e2e on the same corpus)."""
+    from ..functions.hashagg import hash_aggregate
+
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
     partials = docs.map_batches(
         _words_to_symbol_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partials.groupby("word").sum("freq").rename_columns(
-        {"sum(freq)": "freq"}
-    )
+    return hash_aggregate(partials, ["word"], [("freq", "sum", "freq")])
 
 
 def _round_candidates(words: rd.Dataset, topk: int) -> list[tuple[int, str, str]]:
@@ -218,16 +225,25 @@ def _round_candidates(words: rd.Dataset, topk: int) -> list[tuple[int, str, str]
     of the pair table (the former per-merge whole-dataset shuffle)."""
     from functools import partial
 
-    pairs = (
-        words.map_batches(
-            _pair_partials, batch_format="pyarrow", zero_copy_batch=True
+    from ..functions.hashagg import hash_aggregate
+
+    partials = words.map_batches(
+        _pair_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # Path choice per round: the hash aggregate wins when pair cardinality
+    # is high (it is ~ the word-table size), but costs ~2 s of aggregator
+    # actor spin-up per call — ruinous for the many small rounds of a toy
+    # vocab.  words is materialized, so count() is free metadata.
+    if words.count() >= 20_000:
+        pairs = hash_aggregate(
+            partials, ["left", "right"],
+            [("n", "sum", "sum(n)")],  # name kept from the former groupby
         )
-        .groupby(["left", "right"])
-        .sum("n")
-        .map_batches(
-            partial(_block_topk, k=topk), batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    else:
+        pairs = partials.groupby(["left", "right"]).sum("n")
+    pairs = pairs.map_batches(
+        partial(_block_topk, k=topk), batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     rows = pairs.take_all()  # ≤ blocks × topk small rows
     cands = sorted(
