@@ -45,6 +45,16 @@ import ray.data as rd
 
 DEFAULT_PARTITIONS = 32
 
+# The hash path pays ~2 s of fixed cost per call (aggregator actor pool
+# spin-up + the materialize barrier); below this input size the native
+# sort aggregate's per-group loop is cheaper than the spin-up.  Call
+# sites gate on the RAW read_parquet dataset (metadata-only count).
+HASH_PATH_MIN_ROWS = 200_000
+
+
+def hash_path_pays(raw_ds: rd.Dataset, threshold: int = HASH_PATH_MIN_ROWS) -> bool:
+    return raw_ds.count() >= threshold
+
 
 def _effective_partitions(requested: int) -> int:
     """Cap partitions at the session's CPU count: the hash shuffle spawns

@@ -151,8 +151,16 @@ def _collect_pairs(ds: rd.Dataset, schema: dict[str, str]) -> pd.DataFrame:
 # ------------------------------------------------------------------ exact
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """Keep the smallest doc_id per distinct text (md5 partition key) —
-    groupby(hash).min, the canonical hash-partitioned exact dedup."""
+    groupby(hash).min, the canonical hash-partitioned exact dedup.
+
+    Key cardinality ≈ the CORPUS (one group per distinct text), so at
+    scale the reduce goes through the hash aggregate (`functions.hashagg`:
+    hash repartition + per-block Arrow group_by — no per-group Python)
+    instead of the native sort aggregate; small corpora keep the native
+    path (the hash path's ~2 s actor spin-up dwarfs them)."""
     from ray.data.aggregate import Min
+
+    from ..functions.hashagg import hash_aggregate, hash_path_pays
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df["text_md5"] = [
@@ -160,9 +168,12 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         ]
         return df[["doc_id", "text_md5"]]
 
-    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        add_hash, batch_format="pandas"
-    )
+    raw = _docs(sf_dir, ["doc_id", "text"])
+    hashed = raw.map_batches(add_hash, batch_format="pandas")
+    if hash_path_pays(raw):
+        return hash_aggregate(
+            hashed, ["text_md5"], [("doc_id", "min", "keep_doc_id")]
+        )
     return hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="keep_doc_id"))
 
 
@@ -185,20 +196,52 @@ def dedup_stats(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    per_text = (
-        _docs(sf_dir, ["source", "text"])
-        .map_batches(add_hash, batch_format="pandas")
-        .groupby(["source", "text_md5"])
-        .aggregate(Count(alias_name="n"))
-    )
-    per_source = (
-        per_text.groupby("source")
-        .aggregate(
-            Count(alias_name="n_unique_texts"),
-            Sum("n", alias_name="n_docs"),
+    from ..functions.hashagg import hash_partition_exec, hash_path_pays
+
+    raw = _docs(sf_dir, ["source", "text"])
+    hashed = raw.map_batches(add_hash, batch_format="pandas")
+    if hash_path_pays(raw):
+        # (source, md5) cardinality ≈ corpus: ONE hash shuffle keyed on
+        # md5 (all rows of a text land in one block regardless of source),
+        # then both levels collapse per block in C++ — per-block
+        # group_by(source, md5) → group_by(source) rollup partials —
+        # and the final per-source sum is a tiny native aggregate.
+        def rollup(t: pa.Table) -> pa.Table:
+            per_text = t.group_by(["source", "text_md5"]).aggregate([([], "count_all")])
+            agg = per_text.group_by("source").aggregate(
+                [([], "count_all"), ("count_all", "sum")]
+            )
+            return pa.table(
+                {
+                    "source": agg["source"],
+                    "n_unique_texts": agg["count_all"],
+                    "n_docs": agg["count_all_sum"],
+                }
+            )
+
+        partials = hash_partition_exec(hashed, ["text_md5"], rollup)
+        per_source = (
+            partials.groupby("source")
+            .aggregate(
+                Sum("n_unique_texts", alias_name="n_unique_texts"),
+                Sum("n_docs", alias_name="n_docs"),
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
+    else:
+        per_text = (
+            hashed
+            .groupby(["source", "text_md5"])
+            .aggregate(Count(alias_name="n"))
+        )
+        per_source = (
+            per_text.groupby("source")
+            .aggregate(
+                Count(alias_name="n_unique_texts"),
+                Sum("n", alias_name="n_docs"),
+            )
+            .to_pandas()
+        )
     per_source["n_docs"] = per_source["n_docs"].astype("int64")
     per_source["n_unique_texts"] = per_source["n_unique_texts"].astype("int64")
     per_source["n_dup_docs"] = (

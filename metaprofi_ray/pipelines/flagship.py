@@ -302,16 +302,42 @@ def exact_distinct_windows(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> pd.D
         )
 
     pairs = tokens_dataset(sf_dir).map_batches(win_pairs, batch_format="pyarrow")
-    distinct = pairs.groupby(["source", "h"]).count()
-    counts = (
-        distinct.map_batches(
-            lambda t: pa.table({"source": t["source"]}), batch_format="pyarrow"
+    import ray.data as rd
+
+    from ..functions.hashagg import hash_partition_exec, hash_path_pays
+
+    raw = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    if hash_path_pays(raw, threshold=50_000):
+        # distinct-window cardinality ≈ docs × windows/doc — the LARGEST
+        # key space in the engine, where the native sort aggregate's
+        # per-group Python loop melts (functions/hashagg.py).  Key by h
+        # alone: all duplicates of any (source, h) share its h, so the
+        # per-block Arrow dedupe + per-source count is exact; the final
+        # per-source sum is a tiny native aggregate.
+        def distinct_then_count(t: pa.Table) -> pa.Table:
+            per = t.group_by(["source", "h"]).aggregate([])
+            agg = per.group_by("source").aggregate([([], "count_all")])
+            return pa.table({"source": agg["source"], "n": agg["count_all"]})
+
+        partials = hash_partition_exec(pairs, ["h"], distinct_then_count)
+        counts = (
+            partials.groupby("source")
+            .sum("n")
+            .to_pandas()
+            .rename(columns={"sum(n)": "exact_distinct"})
         )
-        .groupby("source")
-        .count()
-        .to_pandas()
-        .rename(columns={"count()": "exact_distinct"})
-    )
+    else:
+        distinct = pairs.groupby(["source", "h"]).count()
+        counts = (
+            distinct.map_batches(
+                lambda t: pa.table({"source": t["source"]}), batch_format="pyarrow"
+            )
+            .groupby("source")
+            .count()
+            .to_pandas()
+            .rename(columns={"count()": "exact_distinct"})
+        )
+    counts["exact_distinct"] = counts["exact_distinct"].astype("int64")
     return counts.sort_values("source").reset_index(drop=True)
 
 

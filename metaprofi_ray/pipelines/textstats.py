@@ -370,10 +370,19 @@ def token_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
             }
         )
 
-    partials = _docs(sf_dir, ["text"]).map_batches(
+    from ..functions.hashagg import hash_aggregate, hash_path_pays
+
+    raw = _docs(sf_dir, ["text"])
+    partials = raw.map_batches(
         count_tokens, batch_format="pandas", batch_size=None
     )
-    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    if hash_path_pays(raw):
+        # vocabulary-cardinality reduce: hash repartition + per-block
+        # Arrow group_by (see functions/hashagg.py) — the native sort
+        # aggregate pays ~100 µs of Python per distinct token
+        agg = hash_aggregate(partials, ["token"], [("n", "sum", "n")])
+    else:
+        agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     # distributed top-k: sort + limit keeps only k rows leaving the cluster
     top = (
         agg.sort(["n", "token"], descending=[True, False])

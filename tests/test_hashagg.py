@@ -104,6 +104,51 @@ class TestHashAggregate:
         # ~10 s/call of 64-actor pool readiness stalls on a 4-CPU session)
         assert out.context.shuffle_strategy == before
 
+    def test_exact_dedup_hash_path_matches_native(
+        self, ray_session, monkeypatch
+    ):
+        """exact_dedup / dedup_stats gate on corpus size; forcing the hash
+        path on the small table must give byte-identical answers to the
+        native path (same rows, same values)."""
+        import metaprofi_ray.functions.hashagg as hashagg
+        from metaprofi_ray.pipelines import dedup
+
+        sf = "/root/testdata/sf0.001"
+        native_dedup = dedup.exact_dedup(sf).to_pandas()
+        native_stats = dedup.dedup_stats(sf)
+        monkeypatch.setattr(hashagg, "hash_path_pays", lambda *a, **k: True)
+        hash_dedup = dedup.exact_dedup(sf).to_pandas()
+        hash_stats = dedup.dedup_stats(sf)
+        pd.testing.assert_frame_equal(
+            native_dedup.sort_values("text_md5").reset_index(drop=True)[
+                ["text_md5", "keep_doc_id"]
+            ],
+            hash_dedup.sort_values("text_md5").reset_index(drop=True)[
+                ["text_md5", "keep_doc_id"]
+            ],
+            check_dtype=False,
+        )
+        pd.testing.assert_frame_equal(native_stats, hash_stats, check_dtype=False)
+
+    def test_distinct_windows_and_topk_hash_paths_match_native(
+        self, ray_session, monkeypatch
+    ):
+        import metaprofi_ray.functions.hashagg as hashagg
+        from metaprofi_ray.pipelines import flagship, textstats
+
+        sf = "/root/testdata/sf0.001"
+        native_dw = flagship.exact_distinct_windows(sf)
+        native_tk = textstats.token_topk(sf)
+        monkeypatch.setattr(hashagg, "hash_path_pays", lambda *a, **k: True)
+        hash_dw = flagship.exact_distinct_windows(sf)
+        hash_tk = textstats.token_topk(sf)
+        pd.testing.assert_frame_equal(native_dw, hash_dw, check_dtype=False)
+        pd.testing.assert_frame_equal(
+            native_tk.reset_index(drop=True),
+            hash_tk.reset_index(drop=True),
+            check_dtype=False,
+        )
+
     def test_restored_on_failure(self, ray_session):
         ds = rd.from_arrow(_random_table(5, n=1_000, nkeys=50))
         before = ds.context.shuffle_strategy
