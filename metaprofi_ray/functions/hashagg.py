@@ -53,24 +53,62 @@ HASH_PATH_MIN_ROWS = 200_000
 
 
 def hash_path_pays(raw_ds: rd.Dataset, threshold: int = HASH_PATH_MIN_ROWS) -> bool:
+    """Row-count gate — right when reduce-input rows ≈ raw rows (one hash
+    row per doc: exact_dedup, dedup_stats)."""
     return raw_ds.count() >= threshold
 
 
-def _effective_partitions(requested: int) -> int:
-    """Cap partitions at the session's CPU count: the hash shuffle spawns
-    ``min(num_partitions, 64)`` aggregator actors and the executor waits
-    (up to ``min_hash_shuffle_aggregator_wait_time_in_s`` = 300 s!) for
-    the pool to come up — on a 4-CPU test session a 32-actor pool stalls
-    the whole aggregate for minutes.  More partitions than CPUs buys
-    nothing on one node anyway; multi-node callers pass an explicit
-    ``num_partitions`` sized to their cluster."""
+HASH_PATH_MIN_BYTES = 32 << 20
+
+
+def hash_path_pays_bytes(
+    raw_ds: rd.Dataset, threshold: int = HASH_PATH_MIN_BYTES
+) -> bool:
+    """Byte-size gate — for reduces whose input cardinality scales with
+    CONTENT volume, not row count (word/token counts: a 100k-doc corpus
+    can feed millions of partial rows into the reduce).  ``size_bytes``
+    comes from Parquet metadata (cheap)."""
+    return (raw_ds.size_bytes() or 0) >= threshold
+
+
+# Target partition size for the per-block Arrow group_by (each partition
+# is ONE batch in one task's heap); Ray caps hash-shuffle aggregators at 64.
+PARTITION_TARGET_BYTES = 128 << 20
+_MAX_PARTITIONS = 64
+
+
+def partitions_for(est_rows: int, row_bytes: int) -> int:
+    """Minimum partition count that keeps ``est_rows × row_bytes`` under
+    ``PARTITION_TARGET_BYTES`` per partition (callers pass this as
+    ``min_partitions`` so data volume, not CPU count, bounds partition
+    size — the hash shuffle never splits an oversized partition)."""
+    import math
+
+    return max(1, math.ceil(est_rows * row_bytes / PARTITION_TARGET_BYTES))
+
+
+def _effective_partitions(requested: int, min_partitions: int | None) -> int:
+    """Two forces, in priority order: (a) MEMORY — ``min_partitions``
+    (from ``partitions_for``) is a floor, because each partition is
+    processed as one Arrow batch and the shuffle never splits it; (b)
+    POOL READINESS — absent a data-driven floor, cap at the session's
+    CPU count: the shuffle spawns ``min(num_partitions, 64)`` aggregator
+    actors and the executor waits (up to 300 s!) for the pool, which
+    stalls a 4-CPU test session under a 32-actor default.  When the two
+    conflict (big data, few CPUs), memory wins — slow beats OOM.  Ray
+    hard-caps aggregators at 64; beyond that, size per-call via
+    ``num_partitions``/``min_partitions`` and accept larger partitions
+    or pre-reduce harder before the shuffle."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 0)) or requested
     except Exception:
         cpus = requested
-    return max(2, min(requested, cpus))
+    base = min(requested, cpus)
+    if min_partitions:
+        base = max(base, min_partitions)
+    return max(2, min(base, _MAX_PARTITIONS))
 
 
 @contextmanager
@@ -97,12 +135,17 @@ def hash_partition_exec(
     keys: list[str],
     block_fn: Callable[[pa.Table], pa.Table],
     num_partitions: int = DEFAULT_PARTITIONS,
+    min_partitions: int | None = None,
 ) -> rd.Dataset:
     """Hash-partition ``ds`` by ``keys`` and apply ``block_fn`` once per
     partition (every row of a key in the same single batch).  Executes
     within the scoped HASH_SHUFFLE switch and returns the materialized
-    result (bounded: ``block_fn`` is an aggregation/reduction)."""
-    num_partitions = _effective_partitions(num_partitions)
+    result (bounded: ``block_fn`` is an aggregation/reduction).
+
+    ``min_partitions`` (see ``partitions_for``) is the data-volume floor:
+    pass it whenever the shuffled rows can outgrow
+    ``PARTITION_TARGET_BYTES × session_cpus``."""
+    num_partitions = _effective_partitions(num_partitions, min_partitions)
     with _hash_shuffle_ctx(ds):
         out = ds.repartition(num_partitions, keys=keys).map_batches(
             block_fn, batch_format="pyarrow", batch_size=None,
@@ -122,6 +165,7 @@ def hash_aggregate(
     keys: list[str],
     specs: list[tuple[str | None, str, str]],
     num_partitions: int = DEFAULT_PARTITIONS,
+    min_partitions: int | None = None,
 ) -> rd.Dataset:
     """Exact ``groupby(keys)`` aggregate.  ``specs`` is a list of
     ``(column, fn, out_name)`` with ``fn`` an Arrow hash-aggregate kernel
@@ -136,6 +180,10 @@ def hash_aggregate(
         (f"{c}_{fn}" if c is not None else f"{fn}"): out
         for c, fn, out in specs
     }
+    if len(renames) != len(specs):
+        # two specs sharing (column, fn) map to ONE pyarrow output column;
+        # the rename would silently keep only the last out_name
+        raise ValueError(f"duplicate (column, fn) pairs in specs: {specs}")
 
     def agg_block(t: pa.Table) -> pa.Table:
         out = t.group_by(keys).aggregate(arrow_aggs)
@@ -144,4 +192,4 @@ def hash_aggregate(
         # stable column order: keys first, then spec order
         return out.select(keys + [o for _, _, o in specs])
 
-    return hash_partition_exec(ds, keys, agg_block, num_partitions)
+    return hash_partition_exec(ds, keys, agg_block, num_partitions, min_partitions)

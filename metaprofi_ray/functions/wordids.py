@@ -50,6 +50,35 @@ def split_words(
     return flat, row_of, n_rows
 
 
+def word_counts(
+    texts: pa.ChunkedArray | pa.Array, strip: str | None = None
+) -> tuple[pa.Array, np.ndarray]:
+    """Distinct-word counts for a batch of texts: one split pass, one C++
+    ``dictionary_encode`` dedupe, counts via ``bincount`` — the shared
+    combiner kernel of ``textstats.token_topk`` and the BPE word table.
+
+    Returns ``(words, counts)`` with empty-string split artifacts removed.
+    ``strip`` removes an in-band separator byte from every word first
+    (probed on the flat word array — the ``replace_substring`` copy is
+    only paid when the byte actually occurs)."""
+    flat, _, _ = split_words(texts)
+    if len(flat) == 0:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    if strip is not None and pc.any(pc.match_substring(flat, strip)).as_py():
+        flat = pc.replace_substring(flat, pattern=strip, replacement="")
+    dct = pc.dictionary_encode(flat)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    idx = dct.indices.to_numpy(zero_copy_only=False)
+    words = dct.dictionary
+    counts = np.bincount(idx, minlength=len(words)).astype(np.int64)
+    keep = pc.not_equal(words, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if keep_np.all():
+        return words, counts
+    return words.filter(keep), counts[keep_np]
+
+
 def intern_ids(
     flat_words: pa.Array,
     row_of: np.ndarray,

@@ -59,41 +59,17 @@ def _words_to_symbol_rows(t: pa.Table) -> pa.Table:
     Strips the internal SEP byte from words (see module docstring).
 
     This is the only stage that scales with CORPUS size (everything after
-    runs over the distinct-word table), so it is fully vectorized: one
-    Arrow split pass, one C++ dictionary dedupe, counts via bincount —
-    the same kernel shape as ``textstats.token_topk``'s combiner."""
-    import numpy as np
-    import pyarrow.compute as pc
+    runs over the distinct-word table), so it runs the shared vectorized
+    combiner kernel (``functions.wordids.word_counts`` — the same kernel
+    ``textstats.token_topk`` uses).  Split convention: Arrow's Unicode
+    White_Space (≙ ``str.split()`` on ASCII text; Python additionally
+    treats U+001C–1F as separators — documented domain convention, same
+    as token_topk's SQL-oracle note)."""
+    from ..functions.wordids import word_counts
 
-    from ..functions.wordids import split_words
-
-    flat, _, _ = split_words(t["text"])
-    if len(flat) == 0:
-        return pa.table(
-            {"word": pa.array([], pa.string()),
-             "freq": pa.array([], pa.int64())}
-        )
-    # SEP inside a word would corrupt the symbol encoding — strip it.
-    # The replace allocates a full copy of the flat word array, so probe
-    # first (one cheap scan of the text column): SEP-bearing corpora are
-    # the exception, not the rule.
-    texts = t["text"]
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    if pc.any(pc.match_substring(pc.fill_null(texts, ""), SEP)).as_py():
-        flat = pc.replace_substring(flat, pattern=SEP, replacement="")
-    dct = pc.dictionary_encode(flat)
-    if isinstance(dct, pa.ChunkedArray):
-        dct = dct.combine_chunks()
-    idx = dct.indices.to_numpy(zero_copy_only=False)
-    words = np.asarray(dct.dictionary.to_pandas(), dtype=object)
-    counts = np.bincount(idx, minlength=len(words)).astype(np.int64)
-    keep = words != ""  # split artifacts + SEP-only words
+    words, counts = word_counts(t["text"], strip=SEP)
     return pa.table(
-        {
-            "word": pa.array(words[keep], pa.string()),
-            "freq": pa.array(counts[keep], pa.int64()),
-        }
+        {"word": words, "freq": pa.array(counts, pa.int64())}
     )
 
 
@@ -201,13 +177,18 @@ def _apply_merges(t: pa.Table, merges: list[tuple[str, str]]) -> pa.Table:
 def word_frequency_table(sf_dir: str) -> rd.Dataset:
     """ONE corpus pass → distinct (word, freq) Dataset.
 
-    The reduce is a hash aggregate (``functions.hashagg``), not the
-    native ``groupby(word).sum``: word cardinality is high, and the
-    sort-based aggregate's per-group Python loop measured 347 s remote
+    At corpus scale the reduce is a hash aggregate (``functions.hashagg``),
+    not the native ``groupby(word).sum``: word cardinality is high, and
+    the sort-based aggregate's per-group Python loop measured 347 s remote
     CPU / 24 s wall on a 49k-word table whose map+combine stages take
     2 s.  Hash-partition + per-block Arrow group_by runs the same reduce
-    in C++ (24 → ~4 s e2e on the same corpus)."""
-    from ..functions.hashagg import hash_aggregate
+    in C++ (24 → ~6 s e2e on the same corpus); small corpora keep the
+    native path (the hash path's ~2 s actor spin-up dwarfs them)."""
+    from ..functions.hashagg import (
+        hash_aggregate,
+        hash_path_pays_bytes,
+        partitions_for,
+    )
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
@@ -215,7 +196,18 @@ def word_frequency_table(sf_dir: str) -> rd.Dataset:
     partials = docs.map_batches(
         _words_to_symbol_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    return hash_aggregate(partials, ["word"], [("freq", "sum", "freq")])
+    # gate on TEXT BYTES, not doc count: the reduce input is per-block
+    # word partials (words, not docs — a 100k-doc/70 MB corpus feeds
+    # 3.36M partial rows into the reduce, where the native path took 24 s)
+    if hash_path_pays_bytes(docs):
+        # partial rows ≤ blocks × per-block vocab ≲ content bytes / 24
+        return hash_aggregate(
+            partials, ["word"], [("freq", "sum", "freq")],
+            min_partitions=partitions_for(docs.size_bytes() // 24, 24),
+        )
+    return partials.groupby("word").sum("freq").rename_columns(
+        {"sum(freq)": "freq"}
+    )
 
 
 def _round_candidates(words: rd.Dataset, topk: int) -> list[tuple[int, str, str]]:
@@ -306,7 +298,14 @@ def bpe_train_local(
     """Single-process reference implementation for the parity test —
     the textbook algorithm (``batch=1``) or the same batched-round rule
     as ``bpe_train`` (greedy disjoint selection over the global
-    top-``topk``), no Ray."""
+    top-``topk``), no Ray.
+
+    Split-convention caveat: this uses ``str.split()`` where the
+    distributed path uses Arrow's Unicode White_Space split; they agree
+    on ASCII text but Python additionally treats U+001C–1F (file/group/
+    record/unit separators) as whitespace.  Parity therefore holds on
+    corpora without those control bytes — the same documented domain
+    convention as ``textstats.token_topk``'s SQL oracle."""
     if topk is None:
         topk = max(64, 4 * batch)
     freqs: dict[tuple[str, ...], int] = {}

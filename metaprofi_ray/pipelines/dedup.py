@@ -171,8 +171,11 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     raw = _docs(sf_dir, ["doc_id", "text"])
     hashed = raw.map_batches(add_hash, batch_format="pandas")
     if hash_path_pays(raw):
+        from ..functions.hashagg import partitions_for
+
         return hash_aggregate(
-            hashed, ["text_md5"], [("doc_id", "min", "keep_doc_id")]
+            hashed, ["text_md5"], [("doc_id", "min", "keep_doc_id")],
+            min_partitions=partitions_for(raw.count(), 56),  # md5 hex + i64
         )
     return hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="keep_doc_id"))
 
@@ -219,7 +222,12 @@ def dedup_stats(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-        partials = hash_partition_exec(hashed, ["text_md5"], rollup)
+        from ..functions.hashagg import partitions_for
+
+        partials = hash_partition_exec(
+            hashed, ["text_md5"], rollup,
+            min_partitions=partitions_for(raw.count(), 64),  # source + md5
+        )
         per_source = (
             partials.groupby("source")
             .aggregate(

@@ -302,11 +302,15 @@ def exact_distinct_windows(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> pd.D
         )
 
     pairs = tokens_dataset(sf_dir).map_batches(win_pairs, batch_format="pyarrow")
-    import ray.data as rd
+    from ..functions.hashagg import (
+        hash_partition_exec,
+        hash_path_pays,
+        partitions_for,
+    )
 
-    from ..functions.hashagg import hash_partition_exec, hash_path_pays
-
-    raw = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
     if hash_path_pays(raw, threshold=50_000):
         # distinct-window cardinality ≈ docs × windows/doc — the LARGEST
         # key space in the engine, where the native sort aggregate's
@@ -319,7 +323,11 @@ def exact_distinct_windows(sf_dir: str, cfg: SketchConfig = DEFAULT_CFG) -> pd.D
             agg = per.group_by("source").aggregate([([], "count_all")])
             return pa.table({"source": agg["source"], "n": agg["count_all"]})
 
-        partials = hash_partition_exec(pairs, ["h"], distinct_then_count)
+        # window-pair rows ≈ docs × windows/doc (~16) × ~40 B/row
+        partials = hash_partition_exec(
+            pairs, ["h"], distinct_then_count,
+            min_partitions=partitions_for(raw.count(), 640),
+        )
         counts = (
             partials.groupby("source")
             .sum("n")

@@ -346,41 +346,37 @@ def token_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     # counts via bincount over the dictionary indices — no Python Counter.
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        from ..functions.wordids import split_words
+        from ..functions.wordids import word_counts
 
-        flat, _, _ = split_words(pa.array(df["text"], type=pa.string()))
-        if len(flat) == 0:
-            return pd.DataFrame(
-                {"token": pd.Series([], dtype="str"),
-                 "n": pd.Series([], dtype="int64")}
-            )
-        dct = pc.dictionary_encode(flat)
-        if isinstance(dct, pa.ChunkedArray):
-            dct = dct.combine_chunks()
-        idx = dct.indices.to_numpy(zero_copy_only=False)
-        tokens = np.asarray(dct.dictionary.to_pandas(), dtype=object)
-        counts = np.bincount(idx, minlength=len(tokens)).astype(np.int64)
-        keep = tokens != ""  # Arrow split artifacts at text boundaries
+        tokens, counts = word_counts(pa.array(df["text"], type=pa.string()))
         return pd.DataFrame(
             {
-                "token": pd.Series(tokens[keep], dtype="str"),
-                "n": counts[keep],
+                "token": pd.Series(
+                    np.asarray(tokens.to_pandas(), dtype=object), dtype="str"
+                ),
+                "n": counts,
             }
         )
 
-    from ..functions.hashagg import hash_aggregate, hash_path_pays
+    from ..functions.hashagg import hash_aggregate, hash_path_pays_bytes
 
     raw = _docs(sf_dir, ["text"])
     partials = raw.map_batches(
         count_tokens, batch_format="pandas", batch_size=None
     )
-    if hash_path_pays(raw):
+    # byte gate, not row gate: reduce input is per-block vocab partials
+    # (content-volume-bounded, like the BPE word table)
+    if hash_path_pays_bytes(raw):
         # vocabulary-cardinality reduce: hash repartition + per-block
         # Arrow group_by (see functions/hashagg.py) — the native sort
         # aggregate pays ~100 µs of Python per distinct token
-        agg = hash_aggregate(partials, ["token"], [("n", "sum", "n")])
+        from ..functions.hashagg import partitions_for
+
+        agg = hash_aggregate(
+            partials, ["token"], [("n", "sum", "n")],
+            min_partitions=partitions_for(raw.size_bytes() // 24, 24),
+        )
     else:
         agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     # distributed top-k: sort + limit keeps only k rows leaving the cluster

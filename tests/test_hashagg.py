@@ -140,6 +140,7 @@ class TestHashAggregate:
         native_dw = flagship.exact_distinct_windows(sf)
         native_tk = textstats.token_topk(sf)
         monkeypatch.setattr(hashagg, "hash_path_pays", lambda *a, **k: True)
+        monkeypatch.setattr(hashagg, "hash_path_pays_bytes", lambda *a, **k: True)
         hash_dw = flagship.exact_distinct_windows(sf)
         hash_tk = textstats.token_topk(sf)
         pd.testing.assert_frame_equal(native_dw, hash_dw, check_dtype=False)
@@ -148,6 +149,23 @@ class TestHashAggregate:
             hash_tk.reset_index(drop=True),
             check_dtype=False,
         )
+
+    def test_partitions_for_and_duplicate_specs(self, ray_session):
+        from metaprofi_ray.functions.hashagg import (
+            _effective_partitions,
+            partitions_for,
+        )
+
+        # memory floor: data volume, not CPU count, bounds partition size
+        assert partitions_for(1_000_000, 56) == 1  # 56 MB -> 1
+        assert partitions_for(1_000_000_000, 56) == 418  # 56 GB / 128 MB
+        # the data floor overrides the CPU cap (capped at Ray's 64)
+        assert _effective_partitions(32, 50) == 50
+        assert _effective_partitions(32, 500) == 64
+        assert _effective_partitions(32, None) <= 32
+        ds = rd.from_arrow(_random_table(6, n=100, nkeys=10))
+        with pytest.raises(ValueError, match="duplicate"):
+            hash_aggregate(ds, ["k"], [("v", "sum", "a"), ("v", "sum", "b")])
 
     def test_restored_on_failure(self, ray_session):
         ds = rd.from_arrow(_random_table(5, n=1_000, nkeys=50))
